@@ -1,0 +1,142 @@
+"""Distributed invariants on the simulated 8-device CPU mesh (SURVEY.md §4):
+
+* global-batch contrastive loss on N devices == single-device loss on the
+  concatenated batch (both the GSPMD path and the explicit shard_map path);
+* one full train step under a dp=4 x tp=2 mesh produces (numerically) the
+  same new state as the unsharded step.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from xmc_gan_tpu import losses
+from xmc_gan_tpu.config import cfg_from_dict
+from xmc_gan_tpu.parallel import make_mesh, shard_batch, state_shardings, batch_shardings
+from xmc_gan_tpu.parallel.collectives import make_sharded_sent_loss
+from xmc_gan_tpu.train import create_train_state, make_train_step
+
+
+def test_shard_map_contrastive_equals_single_device(eight_devices):
+    mesh = make_mesh(dp=8, tp=1)
+    rng = np.random.RandomState(0)
+    B, D = 32, 24
+    img = jnp.asarray(rng.randn(B, D), jnp.float32)
+    txt = jnp.asarray(rng.randn(B, D), jnp.float32)
+    sent = jnp.asarray(rng.randn(B, 16), jnp.float32)
+
+    # single-device reference over the full batch
+    labels = losses.make_labels(sent, True, 0.0)
+    want = losses.sent_loss(img, txt, labels, True, 0.0)
+
+    sharded_fn = make_sharded_sent_loss(mesh, b_global=True, smooth_global=0.0)
+    spec = NamedSharding(mesh, P("data", None))
+    got = sharded_fn(
+        jax.device_put(img, spec), jax.device_put(txt, spec), jax.device_put(sent, spec)
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_shard_map_contrastive_gradient_equals_single_device(eight_devices):
+    """pmean of per-replica grads == grad of the global loss (the invariant
+    that justifies plain DP gradient averaging with gathered negatives)."""
+    mesh = make_mesh(dp=8, tp=1)
+    rng = np.random.RandomState(1)
+    B, D = 16, 8
+    img = jnp.asarray(rng.randn(B, D), jnp.float32)
+    txt = jnp.asarray(rng.randn(B, D), jnp.float32)
+    sent = jnp.asarray(rng.randn(B, 8), jnp.float32)
+
+    def single(img):
+        labels = losses.make_labels(sent, False, 0.5)
+        return losses.sent_loss(img, txt, labels, False, 0.5)
+
+    want = jax.grad(single)(img)
+
+    from xmc_gan_tpu.parallel.collectives import shard_map, global_sent_loss
+
+    def per_replica(img_l, txt_l, sent_l):
+        g = jax.grad(
+            lambda im: global_sent_loss(im, txt_l, sent_l, False, 0.5)
+        )(img_l)
+        # Each replica evaluates an identical copy of the global loss, so the
+        # all_gather transpose (psum_scatter) sums N identical cotangents into
+        # the local shard; the pmean of per-replica grads (here: /N, since each
+        # shard lives on exactly one replica) recovers the global-loss grad.
+        return g / jax.lax.psum(1, "data")
+
+    f = shard_map(
+        per_replica, mesh=mesh,
+        in_specs=(P("data", None),) * 3, out_specs=P("data", None),
+        check_rep=False,
+    )
+    spec = NamedSharding(mesh, P("data", None))
+    got = f(jax.device_put(img, spec), jax.device_put(txt, spec),
+            jax.device_put(sent, spec))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = cfg_from_dict({
+        "TRAIN": {
+            "NCH": 8, "NEF": 32, "NOISE_DIM": 16, "HE_INIT": True,
+            "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1,
+            "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
+            "SMOOTH": {"GLOBAL": 0.0},
+        },
+        "IMG": {"SIZE": 64},
+        "TEXT": {"EMBEDDING_DIM": 48, "MAX_LENGTH": 8},
+        "DISC": {"SPEC_NORM": True, "IMG_MATCH": True},
+    })
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    bs = 8
+    batch = {
+        "imgs": jnp.asarray(rng.uniform(-1, 1, (bs, 64, 64, 3)), jnp.float32),
+        "sent_embs": jnp.asarray(rng.randn(bs, 48), jnp.float32),
+        "words_embs": jnp.asarray(rng.randn(bs, 8, 48), jnp.float32),
+        "mask": jnp.asarray(rng.rand(bs, 8) > 0.7),
+    }
+    return cfg, state, batch
+
+
+def test_train_step_dp_tp_mesh_matches_single_device(tiny_setup, eight_devices):
+    cfg, state, batch = tiny_setup
+    step = make_train_step(cfg)
+    want_state, want_metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(dp=4, tp=2)
+    st_shard = state_shardings(mesh, state, tp_min_size=1 << 12)
+    b_shard = batch_shardings(mesh, batch)
+    sharded_step = jax.jit(
+        step, in_shardings=(st_shard, b_shard, None), out_shardings=None
+    )
+    got_state, got_metrics = sharded_step(
+        jax.device_put(state, st_shard), shard_batch(mesh, batch), jax.random.PRNGKey(1)
+    )
+    for k in want_metrics:
+        np.testing.assert_allclose(
+            float(got_metrics[k]), float(want_metrics[k]), rtol=5e-3, atol=1e-5,
+            err_msg=f"metric {k}",
+        )
+    # parameters agree leaf-wise
+    for (pw, w), (pg, g) in zip(
+        jax.tree_util.tree_leaves_with_path(want_state.g_params),
+        jax.tree_util.tree_leaves_with_path(got_state.g_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-3, atol=2e-5, err_msg=str(pw)
+        )
+
+
+def test_state_shardings_shard_large_kernels_on_model_axis(tiny_setup, eight_devices):
+    cfg, state, _ = tiny_setup
+    mesh = make_mesh(dp=4, tp=2)
+    shards = state_shardings(mesh, state, tp_min_size=1 << 12)
+    leaves = jax.tree.leaves(shards)
+    assert any("model" in str(s.spec) for s in leaves), "no TP-sharded leaf found"
+    # scalars/step stay replicated
+    assert str(shards.step.spec) == "PartitionSpec()"

@@ -1,0 +1,138 @@
+"""Integration tests: a few optimization steps on synthetic data.
+
+Covers SURVEY.md §4 integration items: finite losses, both D updates under
+MAGP, the N_CRITIC counter semantics, spectral-state refresh, and that G's
+``proj_sent`` receives gradients through D's conditioning (the reference quirk
+of ``train_gan.py:191``).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xmc_gan_tpu.config import cfg_from_dict
+from xmc_gan_tpu.train import create_train_state, jit_train_step, make_train_step
+
+
+def tiny_cfg(**overrides):
+    base = {
+        "TRAIN": {
+            "NCH": 8, "NEF": 32, "NOISE_DIM": 16, "HE_INIT": True,
+            "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1,
+            "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": False},
+            "SMOOTH": {"GLOBAL": 0.0},
+        },
+        "IMG": {"SIZE": 64},
+        "TEXT": {"EMBEDDING_DIM": 48, "MAX_LENGTH": 8},
+        "DISC": {"SPEC_NORM": False, "IMG_MATCH": True},
+    }
+    def merge(a, b):
+        for k, v in b.items():
+            a[k] = merge(a.get(k, {}), v) if isinstance(v, dict) else v
+        return a
+    return cfg_from_dict(merge(base, overrides))
+
+
+def synthetic_batch(cfg, bs=4, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "imgs": jnp.asarray(
+            rng.uniform(-1, 1, (bs, cfg.IMG.SIZE, cfg.IMG.SIZE, 3)), jnp.float32
+        ),
+        "sent_embs": jnp.asarray(rng.randn(bs, cfg.TEXT.EMBEDDING_DIM), jnp.float32),
+        "words_embs": jnp.asarray(
+            rng.randn(bs, cfg.TEXT.MAX_LENGTH, cfg.TEXT.EMBEDDING_DIM), jnp.float32
+        ),
+        "mask": jnp.asarray(rng.rand(bs, cfg.TEXT.MAX_LENGTH) > 0.7),
+    }
+
+
+def leaf_l2_delta(a, b):
+    return sum(
+        float(jnp.sum(jnp.square(x - y)))
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def test_two_steps_finite_and_params_move():
+    cfg = tiny_cfg()
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn = jit_train_step(cfg)
+    batch = synthetic_batch(cfg)
+    s1, m1 = step_fn(state, batch, jax.random.PRNGKey(1))
+    s2, m2 = step_fn(s1, synthetic_batch(cfg, seed=1), jax.random.PRNGKey(2))
+    for name, val in m2.items():
+        assert bool(jnp.isfinite(val)), f"{name} not finite: {val}"
+    assert int(s2.step) == 2
+    assert float(m1["d_loss_gp"]) >= 0.0
+
+
+def test_g_and_d_params_change_after_step():
+    cfg = tiny_cfg()
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg)
+    new_state, _ = step_fn(state, synthetic_batch(cfg), jax.random.PRNGKey(1))
+    assert leaf_l2_delta(state.g_params, new_state.g_params) > 0
+    assert leaf_l2_delta(state.d_params, new_state.d_params) > 0
+
+
+def test_magp_is_second_d_update():
+    """With MAGP the D params after the step differ from a MAGP-off run with
+    identical RNG — and the penalty metric is produced."""
+    cfg_on = tiny_cfg()
+    cfg_off = tiny_cfg(TRAIN={"MAGP": False})
+    state = create_train_state(cfg_on, jax.random.PRNGKey(0))
+    batch = synthetic_batch(cfg_on)
+    s_on, m_on = make_train_step(cfg_on)(state, batch, jax.random.PRNGKey(1))
+    s_off, m_off = make_train_step(cfg_off)(state, batch, jax.random.PRNGKey(1))
+    assert float(m_on["d_loss_gp"]) > 0.0
+    assert float(m_off["d_loss_gp"]) == 0.0
+    assert leaf_l2_delta(s_on.d_params, s_off.d_params) > 0
+    # G step sees the twice-updated D, so G also diverges
+    assert leaf_l2_delta(s_on.g_params, s_off.g_params) > 0
+
+
+def test_n_critic_two_updates_g_every_second_step():
+    cfg = tiny_cfg(TRAIN={"N_CRITIC": 2, "MAGP": False})
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg)
+    s1, m1 = step_fn(state, synthetic_batch(cfg), jax.random.PRNGKey(1))
+    assert not bool(m1["g_updated"])  # step counter 0 -> (0+1)%2 != 0
+    assert leaf_l2_delta(state.g_params, s1.g_params) == 0
+    assert leaf_l2_delta(state.d_params, s1.d_params) > 0  # D still trains
+    s2, m2 = step_fn(s1, synthetic_batch(cfg, seed=1), jax.random.PRNGKey(2))
+    assert bool(m2["g_updated"])
+    assert leaf_l2_delta(s1.g_params, s2.g_params) > 0
+
+
+def test_proj_sent_gets_gradients_through_d_conditioning():
+    """netG.proj_sent is updated by the G step even though it only feeds D
+    (reference train_gan.py:191,260)."""
+    cfg = tiny_cfg(TRAIN={"MAGP": False, "ENCODER_LOSS": {"SENT": False, "DISC": False}})
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    new_state, _ = make_train_step(cfg)(state, synthetic_batch(cfg), jax.random.PRNGKey(1))
+    # EMBEDDING_DIM(48) != NEF(32) so proj_sent_dense exists
+    old = state.g_params["proj_sent_dense"]["kernel"]
+    new = new_state.g_params["proj_sent_dense"]["kernel"]
+    assert float(jnp.sum(jnp.square(old - new))) > 0
+
+
+def test_spectral_state_refreshes():
+    cfg = tiny_cfg(DISC={"SPEC_NORM": True}, TRAIN={"MAGP": False})
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    new_state, m = make_train_step(cfg)(state, synthetic_batch(cfg), jax.random.PRNGKey(1))
+    d_old = jax.tree.leaves(state.d_spectral)
+    d_new = jax.tree.leaves(new_state.d_spectral)
+    assert len(d_old) > 0
+    assert any(float(jnp.sum(jnp.square(a - b))) > 0 for a, b in zip(d_old, d_new))
+    for name, val in m.items():
+        assert bool(jnp.all(jnp.isfinite(val))), name
+
+
+def test_seperate_mode_conditions_on_raw_sentence():
+    cfg = tiny_cfg(DISC={"SEPERATE": True, "IMG_MATCH": False},
+                   TRAIN={"ENCODER_LOSS": {"SENT": False, "DISC": False}, "MAGP": False})
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    new_state, m = make_train_step(cfg)(state, synthetic_batch(cfg), jax.random.PRNGKey(1))
+    assert bool(jnp.isfinite(m["Loss_D"]))
