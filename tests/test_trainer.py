@@ -1,0 +1,102 @@
+"""End-to-end trainer tests on synthetic data: loop runs, artifacts appear,
+checkpoint save -> resume restores state bitwise (SURVEY.md §4 integration)."""
+
+import glob
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from xmc_gan_tpu.config import cfg_from_dict
+from xmc_gan_tpu.trainer import Trainer
+
+
+def tiny_cfg(**extra):
+    base = {
+        "CONFIG_NAME": "TINY",
+        "TRAIN": {
+            "NCH": 8, "NEF": 32, "NOISE_DIM": 16, "HE_INIT": True,
+            "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1, "BATCH_SIZE": 8,
+            "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
+            "SMOOTH": {"GLOBAL": 0.0},
+        },
+        "IMG": {"SIZE": 64},
+        "TEXT": {"EMBEDDING_DIM": 48, "MAX_LENGTH": 8, "VOCA_SIZE": 100,
+                 "ENCODER_NAME": "RNN", "TYPE": "WORD"},
+        "DISC": {"SPEC_NORM": True, "IMG_MATCH": True},
+    }
+    for k, v in extra.items():
+        base[k] = {**base.get(k, {}), **v}
+    return cfg_from_dict(base)
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("runs"))
+
+
+def test_trainer_synthetic_two_epochs(run_dir):
+    cfg = tiny_cfg()
+    tr = Trainer(
+        cfg, seed=3, output_root=run_dir, log_type="tb",
+        synthetic=True, synthetic_len=16, save_after=0, num_threads=2,
+    )
+    metrics = tr.fit(max_epochs=2)
+    assert metrics and all(np.isfinite(v) for v in metrics.values())
+
+    out = tr.output_dir
+    assert os.path.isfile(f"{out}/img/sents.txt")
+    assert os.path.isfile(f"{out}/img/imgs.png")
+    assert os.path.isfile(f"{out}/img/fake_samples_epoch_001.png")
+    assert os.path.isfile(f"{out}/img/fake_samples_epoch_002.png")
+    assert os.path.isfile(f"{out}/log/log.txt")
+    assert glob.glob(f"{out}/log/events.out.tfevents*")  # TB scalars
+    # save_after=0 -> checkpoints at epochs 1 and 2
+    assert tr.ckpt.all_epochs() == [1, 2]
+    assert int(tr.state.step) == 4  # 16 examples / bs 8 = 2 steps x 2 epochs
+
+
+def test_trainer_resume_bitwise(run_dir):
+    cfg = tiny_cfg()
+    tr = Trainer(
+        cfg, seed=3, output_root=run_dir, log_type="none",
+        synthetic=True, synthetic_len=16, save_after=0, num_threads=1,
+    )
+    tr.resume(2)
+    prev = Trainer(
+        cfg, seed=3, output_root=run_dir, log_type="none",
+        synthetic=True, synthetic_len=16, save_after=0, num_threads=1,
+    )
+    prev.resume(2)
+    for a, b in zip(jax.tree.leaves(tr.state), jax.tree.leaves(prev.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert tr.state_epoch == 2 and int(tr.state.step) == 4
+
+
+def test_trainer_under_mesh(run_dir, eight_devices):
+    from xmc_gan_tpu.parallel import make_mesh
+
+    cfg = tiny_cfg()
+    mesh = make_mesh(dp=4, tp=2)
+    tr = Trainer(
+        cfg, seed=5, output_root=run_dir + "/mesh", log_type="none",
+        synthetic=True, synthetic_len=16, save_after=50, num_threads=1,
+        mesh=mesh,
+    )
+    metrics = tr.fit(max_epochs=1)
+    assert metrics and all(np.isfinite(v) for v in metrics.values())
+
+
+def test_cli_train_smoke(run_dir, tmp_path):
+    from xmc_gan_tpu import cli
+
+    cfg_path = "xmc_gan_tpu/cfg/df_gan_damsm.yml"
+    rc = cli.main([
+        "train", "--cfg", cfg_path, "--synthetic", "--synthetic_len", "8",
+        "--bs", "4", "--imsize", "64", "--max_epochs", "1", "--seed", "7",
+        "--log_type", "none", "--output_root", str(tmp_path),
+    ])
+    assert rc == 0
+    assert glob.glob(f"{tmp_path}/coco64_DF_GAN_DAMSM*/img/fake_samples_epoch_001.png") or \
+        glob.glob(f"{tmp_path}/coco64_*_7/img/fake_samples_epoch_001.png")

@@ -1,0 +1,107 @@
+"""Command-line entrypoint: ``python -m xmc_gan_tpu.cli train --cfg ...``.
+
+Flag surface mirrors the reference CLI (``train_gan.py:52-62``): ``--cfg
+--seed --resume_epoch --log_type --bs --imsize`` (``--gpu`` is accepted and
+ignored — device placement is JAX's job on TPU).  New flags cover what the
+reference hard-coded or lacked: ``--data_dir`` (reference hard-codes
+``data/{DATASET_NAME}``, ``train_gan.py:451``), ``--synthetic`` for data-free
+smoke runs, ``--dp/--tp`` mesh axes, ``--max_steps/--max_epochs`` caps, and
+``--output_root``.  Multi-host: launched under ``jax.distributed`` the same
+flags work per-process (``--distributed`` triggers ``initialize()``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="xmc_gan_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="train a text-to-image GAN")
+    t.add_argument("--cfg", required=True, help="YAML config (reference schema)")
+    t.add_argument("--gpu", "--gpu_id", dest="gpu_id", type=int, default=0,
+                   help="accepted for reference-CLI parity; ignored on TPU")
+    t.add_argument("--seed", type=int, default=100)
+    t.add_argument("--resume_epoch", type=int, default=0)
+    t.add_argument("--log_type", default="tb", choices=["tb", "wandb", "none"])
+    t.add_argument("--bs", type=int, default=-1, help="override TRAIN.BATCH_SIZE")
+    t.add_argument("--imsize", type=int, default=-1, help="override IMG.SIZE")
+    t.add_argument("--data_dir", default=None)
+    t.add_argument("--output_root", default="output")
+    t.add_argument("--synthetic", action="store_true",
+                   help="data-free smoke run on synthetic images/captions")
+    t.add_argument("--synthetic_len", type=int, default=512)
+    t.add_argument("--max_epochs", type=int, default=None)
+    t.add_argument("--max_steps", type=int, default=None)
+    t.add_argument("--save_after", type=int, default=50,
+                   help="checkpoint every epoch once epoch > this (reference: 50)")
+    t.add_argument("--dp", type=int, default=None, help="data-parallel mesh size")
+    t.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    t.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host)")
+
+    return p.parse_args(argv)
+
+
+def run_train(args: argparse.Namespace) -> dict:
+    import jax
+
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from xmc_gan_tpu.config import cfg_from_file
+    from xmc_gan_tpu.trainer import Trainer
+
+    cfg = cfg_from_file(args.cfg)
+    if args.imsize != -1:
+        cfg = cfg.replace(IMG=cfg.IMG.__class__(SIZE=args.imsize))
+    if args.bs != -1:
+        import dataclasses
+
+        cfg = cfg.replace(TRAIN=dataclasses.replace(cfg.TRAIN, BATCH_SIZE=args.bs))
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    mesh = None
+    if args.dp is not None or args.tp != 1:
+        from xmc_gan_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+
+    trainer = Trainer(
+        cfg,
+        seed=args.seed,
+        data_dir=args.data_dir,
+        output_root=args.output_root,
+        log_type=args.log_type,
+        synthetic=args.synthetic,
+        synthetic_len=args.synthetic_len,
+        mesh=mesh,
+        save_after=args.save_after,
+    )
+    trainer.logger.info("Using config:")
+    trainer.logger.info(str(cfg.to_dict()))
+    trainer.logger.info(f"seed now is : {args.seed}")
+    if args.resume_epoch:
+        trainer.resume(args.resume_epoch)
+    return trainer.fit(max_epochs=args.max_epochs, max_steps=args.max_steps)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    if args.command == "train":
+        metrics = run_train(args)
+        print({k: round(v, 4) for k, v in metrics.items()})
+        return 0
+    raise AssertionError(args.command)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

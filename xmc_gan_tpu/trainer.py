@@ -1,0 +1,309 @@
+"""Training orchestration: the reference's ``__main__`` + ``train()`` loop
+(``train_gan.py:140-335,400-499``) rebuilt around one jitted step.
+
+Layout parity with the reference:
+
+* output dirs ``{output_root}/{DATASET_NAME}{SIZE}_{CONFIG_NAME}_{seed}/
+  {img,log,model}`` (``train_gan.py:416-425``);
+* ``sents.txt`` + ``imgs.png`` + per-epoch fixed-noise ``fake_samples_epoch_
+  {e:03d}.png`` grids (``:146-160,323-326``);
+* console line every ``N_CRITIC`` steps, per-epoch scalars (last step's
+  values — a reference quirk kept deliberately, ``:292-321``);
+* checkpoints every epoch once ``epoch > 50``, then FID eval (``:328-334``).
+
+TPU-first differences: the whole optimization step (both D updates + G update)
+is one jitted, state-donating call; batches stream through host-threaded
+decode and are sharded over the ``data`` mesh axis; the frozen text encoder
+runs as a jitted forward on device (the reference runs it eagerly inside the
+loop); all per-step metrics stay on device until a log boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmc_gan_tpu.config import Config
+from xmc_gan_tpu.data import DataLoader, SyntheticDataset
+from xmc_gan_tpu.models.encoder import RNNEncoder, SBERTEncoder
+from xmc_gan_tpu.registry import get_dataset
+from xmc_gan_tpu.train import TrainState, create_train_state, make_train_step
+from xmc_gan_tpu.utils.checkpoint import CheckpointManager
+from xmc_gan_tpu.utils.logger import MetricWriter, Throughput, setup_logger
+from xmc_gan_tpu.utils.miscc import count_params, save_image_grid
+
+__all__ = ["Trainer", "make_encode_fn"]
+
+
+def make_encode_fn(cfg: Config, *, synthetic: bool = False) -> Callable:
+    """Jitted frozen text-encoder forward: batch -> (words, sent, mask).
+
+    WORD/RNN: the DAMSM bi-RNN with weights from ``TEXT.ENCODER_DIR`` when the
+    file exists (reference ``train_gan.py:461-468``), random-init otherwise
+    (smoke runs).  SENT/SBERT: pooling over token embeddings; in synthetic mode
+    token embeddings come from a fixed seeded table so the full loop runs
+    data-free; real raw-string datasets require the precomputed-embedding
+    pipeline (``xmc_gan_tpu/data`` cache) since the 125M-param RoBERTa belongs
+    in the data pipeline, not the train step.
+    """
+    name = cfg.TEXT.ENCODER_NAME
+    if name == "RNN":
+        enc = RNNEncoder(cfg)
+        caps0 = jnp.zeros((1, cfg.TEXT.MAX_LENGTH), jnp.int32)
+        if cfg.TEXT.ENCODER_DIR and os.path.isfile(cfg.TEXT.ENCODER_DIR):
+            from xmc_gan_tpu.utils.convert import load_rnn_encoder
+
+            params = jax.tree.map(jnp.asarray, load_rnn_encoder(cfg.TEXT.ENCODER_DIR))
+        else:
+            params = enc.init(jax.random.PRNGKey(0), caps0)["params"]
+
+        @jax.jit
+        def encode(caps, cap_lens):
+            return enc.apply({"params": params}, caps, cap_lens)
+
+        return lambda batch: encode(
+            jnp.asarray(batch["caps"]), jnp.asarray(batch["cap_lens"])
+        )
+
+    if name == "SBERT":
+        enc = SBERTEncoder(cfg)
+        if synthetic:
+            table = jax.random.normal(
+                jax.random.PRNGKey(42),
+                (cfg.TEXT.VOCA_SIZE, cfg.TEXT.EMBEDDING_DIM),
+                jnp.float32,
+            )
+
+            @jax.jit
+            def encode(caps):
+                attn = (caps != 0).astype(jnp.int32)
+                return enc.apply({}, table[caps], attn)
+
+            return lambda batch: encode(jnp.asarray(batch["caps"]))
+        raise NotImplementedError(
+            "SENT datasets need precomputed SBERT token embeddings "
+            "(run the RoBERTa encode in the data pipeline); online "
+            "SentenceTransformer-in-the-loop is deliberately not supported "
+            "on the TPU path."
+        )
+    raise KeyError(f"Unknown TEXT.ENCODER_NAME {name!r}")
+
+
+class Trainer:
+    """End-to-end training driver. ``synthetic=True`` runs fully data-free."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        *,
+        seed: int = 100,
+        data_dir: str | None = None,
+        output_root: str = "output",
+        log_type: str = "tb",
+        synthetic: bool = False,
+        synthetic_len: int = 512,
+        mesh=None,
+        save_after: int = 50,
+        num_threads: int = 8,
+        eval_num_samples: int = 6000,
+    ):
+        self.cfg = cfg
+        self.seed = seed
+        self.mesh = mesh
+        self.save_after = save_after
+        self.eval_num_samples = eval_num_samples
+        self.rank = jax.process_index()
+
+        out = f"{output_root}/{cfg.DATASET_NAME}{cfg.IMG.SIZE}_{cfg.CONFIG_NAME}_{seed}"
+        self.output_dir = out
+        self.img_dir = f"{out}/img"
+        self.log_dir = f"{out}/log"
+        self.model_dir = f"{out}/model"
+        if self.rank == 0:
+            for d in (out, self.img_dir, self.log_dir, self.model_dir):
+                os.makedirs(d, exist_ok=True)
+        self.logger = setup_logger(
+            cfg.CONFIG_NAME or "xmc_gan_tpu", self.log_dir, self.rank
+        )
+        self.writer = MetricWriter(self.log_dir, log_type, self.rank)
+
+        # ---------------------------------------------------------- data
+        shard = (jax.process_index(), jax.process_count())
+        if synthetic:
+            self.train_set = SyntheticDataset(cfg, synthetic_len, "train")
+            self.test_set = SyntheticDataset(cfg, max(synthetic_len // 4, 8), "test")
+        else:
+            assert data_dir, "data_dir required unless synthetic=True"
+            ds_cls = get_dataset(cfg.TEXT.TYPE)
+            self.train_set = ds_cls(data_dir, "train", cfg)
+            self.test_set = ds_cls(data_dir, "test", cfg)
+        bs = cfg.TRAIN.BATCH_SIZE
+        self.train_loader = DataLoader(
+            self.train_set, bs, shuffle=True, drop_last=True, seed=seed,
+            num_threads=num_threads, shard=shard,
+        )
+        self.test_loader = DataLoader(
+            self.test_set, bs, shuffle=False, drop_last=True, seed=seed,
+            num_threads=num_threads, shard=shard,
+        )
+
+        # ------------------------------------------------- encoder + step
+        self.encode = make_encode_fn(cfg, synthetic=synthetic)
+        self.state = create_train_state(cfg, jax.random.PRNGKey(seed))
+        self.logger.info(f"netG # of parameters: {count_params(self.state.g_params)}")
+        self.logger.info(f"netD # of parameters: {count_params(self.state.d_params)}")
+
+        step_fn = make_train_step(cfg)
+        if mesh is not None:
+            from xmc_gan_tpu.parallel import batch_shardings, state_shardings
+
+            self._state_sharding = state_shardings(mesh, self.state)
+            example = {
+                "imgs": jax.ShapeDtypeStruct((bs, cfg.IMG.SIZE, cfg.IMG.SIZE, 3), jnp.float32),
+                "sent_embs": jax.ShapeDtypeStruct((bs, cfg.TEXT.EMBEDDING_DIM), jnp.float32),
+                "words_embs": jax.ShapeDtypeStruct((bs, cfg.TEXT.MAX_LENGTH, cfg.TEXT.EMBEDDING_DIM), jnp.float32),
+                "mask": jax.ShapeDtypeStruct((bs, cfg.TEXT.MAX_LENGTH), jnp.bool_),
+            }
+            self._batch_sharding = batch_shardings(mesh, example)
+            self.state = jax.device_put(self.state, self._state_sharding)
+            # out_shardings pins the new state to the same layout as the input
+            # so the donated buffers round-trip across steps without reshards.
+            self.step_fn = jax.jit(
+                step_fn,
+                in_shardings=(self._state_sharding, self._batch_sharding, None),
+                out_shardings=(self._state_sharding, None),
+                donate_argnums=(0,),
+            )
+        else:
+            self._batch_sharding = None
+            self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
+
+        self.ckpt = CheckpointManager(self.model_dir)
+        self.state_epoch = 0
+        self.global_step = 0
+        self._fixed = None
+
+    # ------------------------------------------------------------------ #
+
+    def resume(self, epoch: int | None = None) -> int:
+        """Restore state from a checkpoint (reference ``--resume_epoch``,
+        ``train_gan.py:486-493`` — here optimizer state is epoch-matched)."""
+        self.state, self.state_epoch = self.ckpt.restore(self.state, epoch)
+        self.global_step = int(self.state.step)
+        self.logger.info(f"Load models, epoch : {self.state_epoch}")
+        return self.state_epoch
+
+    def _prep_batch(self, batch: dict) -> dict:
+        words, sent, mask = self.encode(batch)
+        out = {
+            "imgs": jnp.asarray(batch["imgs"]),
+            "sent_embs": sent,
+            "words_embs": words,
+            "mask": mask,
+        }
+        if self.mesh is not None:
+            from xmc_gan_tpu.parallel import shard_batch
+
+            out = shard_batch(self.mesh, out)
+        return out
+
+    def _setup_fixed_batch(self) -> None:
+        """Fixed noise/text for the per-epoch sample grid (reference
+        ``train_gan.py:146-160``)."""
+        batch = next(iter(self.train_loader))
+        words, sent, mask = self.encode(batch)
+        n = sent.shape[0]
+        noise = jax.random.normal(
+            jax.random.PRNGKey(self.seed + 1), (n, self.cfg.TRAIN.NOISE_DIM)
+        )
+        self._fixed = (noise, sent, words, mask)
+        if self.rank == 0:
+            if self.cfg.TEXT.TYPE == "WORD" and hasattr(self.train_set, "i2w"):
+                from xmc_gan_tpu.data import index_to_sent
+
+                sents = index_to_sent(self.train_set.i2w, batch["caps"])
+            else:
+                sents = [str(c) for c in batch["caps"]]
+            with open(f"{self.img_dir}/sents.txt", "w") as f:
+                for s in sents:
+                    f.write(f"{s} \n")
+            save_image_grid(np.asarray(batch["imgs"]), f"{self.img_dir}/imgs.png")
+
+    def sample_fixed_grid(self, epoch: int) -> None:
+        if self._fixed is None:
+            self._setup_fixed_batch()
+        noise, sent, words, mask = self._fixed
+        from xmc_gan_tpu.train import make_sample_fn
+
+        if not hasattr(self, "_sample_fn"):
+            self._sample_fn = make_sample_fn(self.cfg)
+        fake = self._sample_fn(self.state.g_params, noise, sent, words, mask)
+        if self.rank == 0:
+            save_image_grid(
+                np.asarray(fake), f"{self.img_dir}/fake_samples_epoch_{epoch:03d}.png"
+            )
+
+    # ------------------------------------------------------------------ #
+
+    def fit(
+        self,
+        max_epochs: int | None = None,
+        max_steps: int | None = None,
+        eval_fn: Callable | None = None,
+    ) -> dict:
+        """Run the training loop; returns the last metric dict (host floats)."""
+        cfg = self.cfg
+        max_epochs = max_epochs or cfg.TRAIN.MAX_EPOCH
+        if self._fixed is None:
+            self._setup_fixed_batch()
+        meter = Throughput(cfg.TRAIN.BATCH_SIZE, jax.device_count())
+        last_metrics: dict = {}
+        rng = jax.random.PRNGKey(self.seed + 7)
+        steps_done = 0
+
+        for epoch in range(self.state_epoch + 1, max_epochs + 1):
+            self.train_loader.set_epoch(epoch)
+            steps_per_epoch = len(self.train_loader)
+            for step, raw in enumerate(self.train_loader):
+                batch = self._prep_batch(raw)
+                rng, step_rng = jax.random.split(rng)
+                self.state, metrics = self.step_fn(self.state, batch, step_rng)
+                meter.step()
+                self.global_step += 1
+                steps_done += 1
+
+                if (step + 1) % cfg.TRAIN.N_CRITIC == 0:
+                    last_metrics = {k: float(v) for k, v in metrics.items()}
+                    self.logger.info(
+                        f"[{epoch}/{max_epochs}][{step + 1}/{steps_per_epoch}] "
+                        f"Loss_D: {last_metrics['Loss_D']:.3f} "
+                        f"Loss_G: {last_metrics['Loss_G']:.3f} "
+                        f"errD_real: {last_metrics['errD_real']:.3f} "
+                        f"errD_fake: {last_metrics['errD_fake']:.3f} "
+                    )
+                if max_steps and steps_done >= max_steps:
+                    break
+
+            # per-epoch scalars: last step's values (reference quirk,
+            # train_gan.py:300-321) + throughput
+            scalars = {"epoch": epoch, **last_metrics, **meter.rates()}
+            self.writer.scalars(epoch, scalars)
+            meter.reset()
+
+            self.sample_fixed_grid(epoch)
+
+            if epoch > self.save_after:
+                self.ckpt.save(epoch, self.state)
+                self.logger.info("Save models")
+                if eval_fn is not None:
+                    eval_fn(self, epoch)
+            if max_steps and steps_done >= max_steps:
+                break
+
+        self.ckpt.wait()
+        return last_metrics
