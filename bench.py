@@ -1,0 +1,100 @@
+"""Headline benchmark: training throughput at the flagship configuration.
+
+Measures steady-state images/sec/chip of the full jitted train step — both D
+updates (hinge + RMIS mismatch + sentence InfoNCE + MAGP second Adam step) and
+the G update (non-saturating + sentence + image-image InfoNCE) — for the
+DF-GAN/XMC-GAN model at COCO 256x256 scale (NCH=32, NEF=256, noise 100: the
+reference's cfg geometry, ``cfg/df_gan_damsm.yml`` + ``IMG.SIZE=256``), on
+whatever accelerator JAX exposes (one TPU chip under the driver).
+
+Baseline: the reference repo publishes no numbers (README is 2 lines).  The
+anchor recorded in BASELINE.md is an *estimate* of the PyTorch stack on one
+A100: the public DF-GAN repo reports COCO 256 training at roughly 10 days for
+600 epochs of ~80k images on one consumer GPU (~55 img/s); scaled to A100 and
+charged with XMC-GAN's extra D forwards/contrastive losses, call it
+~90 images/sec/chip.  ``vs_baseline`` is measured_value / 90.
+
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_IMAGES_PER_SEC_PER_CHIP = 90.0  # estimated PyTorch A100 (BASELINE.md)
+
+
+def main() -> None:
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmc_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xmc_gan_tpu.config import cfg_from_dict
+    from xmc_gan_tpu.train import create_train_state, make_train_step
+
+    batch_size = 32
+    cfg = cfg_from_dict({
+        "CONFIG_NAME": "BENCH_256",
+        "TRAIN": {
+            "NCH": 32, "NEF": 256, "NOISE_DIM": 100, "HE_INIT": True,
+            "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1,
+            "BATCH_SIZE": batch_size,
+            "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
+            "SMOOTH": {"GLOBAL": 0.0},
+        },
+        "IMG": {"SIZE": 256},
+        "TEXT": {"EMBEDDING_DIM": 256, "MAX_LENGTH": 20},
+        "DISC": {"SPEC_NORM": True, "IMG_MATCH": True},
+    })
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "imgs": jnp.asarray(
+            rng.uniform(-1, 1, (batch_size, 256, 256, 3)), jnp.float32
+        ),
+        "sent_embs": jnp.asarray(rng.randn(batch_size, 256), jnp.float32),
+        "words_embs": jnp.asarray(rng.randn(batch_size, 20, 256), jnp.float32),
+        "mask": jnp.asarray(rng.rand(batch_size, 20) > 0.7),
+    }
+
+    # compile + warmup (2 steps), then timed steady state.  NOTE: a host
+    # fetch (float(...)) is the completion barrier — under the tunneled-TPU
+    # transport block_until_ready can return before execution finishes, and
+    # the final step's metrics depend on the whole donated-state chain, so one
+    # fetch forces all timed steps.
+    key = jax.random.PRNGKey(1)
+    for i in range(2):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k)
+    assert np.isfinite(float(metrics["Loss_D"]))
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k)
+    assert np.isfinite(float(metrics["Loss_G"]))
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    value = n_steps * batch_size / dt / n_chips
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_coco256_dfgan_xmc",
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / BASELINE_IMAGES_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

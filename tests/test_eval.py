@@ -1,0 +1,181 @@
+"""FID machinery tests: Flax InceptionV3 parity vs torchvision (random-init
+weights converted both ways), Gaussian-stats correctness, end-to-end FID on a
+synthetic trainer state."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from xmc_gan_tpu.eval import FeatureStats, FidComputer, evaluate_fid, fid_from_stats
+from xmc_gan_tpu.models.inception import (
+    InceptionV3,
+    inception_params_from_torch,
+    preprocess,
+)
+
+
+def test_inception_matches_torchvision():
+    """Architecture parity: convert a *random-init* torchvision inception_v3
+    state_dict and compare pool3 features (fid_variant=False = torchvision
+    pooling semantics).  torchvision is not in this image; runs when present."""
+    import torch
+
+    torchvision = pytest.importorskip("torchvision")
+
+    torch.manual_seed(0)
+    tmodel = torchvision.models.inception_v3(
+        weights=None, aux_logits=True, init_weights=True
+    )
+    tmodel.eval()
+    variables = jax.tree.map(
+        jnp.asarray, inception_params_from_torch(tmodel.state_dict())
+    )
+    model = InceptionV3(fid_variant=False, num_classes=1000)
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 299, 299, 3).astype(np.float32) * 2 - 1
+    feats = model.apply(variables, jnp.asarray(x))
+
+    with torch.no_grad():
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        # torchvision forward up to pool3
+        m = tmodel
+        y = m.Conv2d_1a_3x3(tx)
+        y = m.Conv2d_2a_3x3(y)
+        y = m.Conv2d_2b_3x3(y)
+        y = m.maxpool1(y)
+        y = m.Conv2d_3b_1x1(y)
+        y = m.Conv2d_4a_3x3(y)
+        y = m.maxpool2(y)
+        for blk in (m.Mixed_5b, m.Mixed_5c, m.Mixed_5d, m.Mixed_6a, m.Mixed_6b,
+                    m.Mixed_6c, m.Mixed_6d, m.Mixed_6e, m.Mixed_7a, m.Mixed_7b,
+                    m.Mixed_7c):
+            y = blk(y)
+        want = y.mean(dim=(2, 3)).numpy()
+
+    np.testing.assert_allclose(np.asarray(feats), want, rtol=1e-3, atol=1e-4)
+
+    # logits head converts too
+    logits = model.apply(variables, jnp.asarray(x), return_logits=True)
+    with torch.no_grad():
+        want_logits = tmodel(tx).numpy()
+    np.testing.assert_allclose(np.asarray(logits), want_logits, rtol=1e-3, atol=1e-4)
+
+
+def test_basic_conv2d_matches_torch():
+    """BasicConv2d = Conv(no bias) + BN(eps=1e-3, running stats) + relu,
+    checked against torch primitives with converted weights."""
+    import torch
+
+    from xmc_gan_tpu.models.inception import BasicConv2d
+
+    torch.manual_seed(0)
+    conv = torch.nn.Conv2d(5, 7, 3, stride=2, padding=1, bias=False)
+    bn = torch.nn.BatchNorm2d(7, eps=1e-3)
+    with torch.no_grad():
+        bn.running_mean.normal_()
+        bn.running_var.uniform_(0.5, 2.0)
+        bn.weight.normal_()
+        bn.bias.normal_()
+    bn.eval()
+
+    sd = {f"conv.{k}": v for k, v in conv.state_dict().items()}
+    sd.update({f"bn.{k}": v for k, v in bn.state_dict().items()})
+    variables = inception_params_from_torch(sd)
+
+    x = np.random.RandomState(1).randn(2, 9, 9, 5).astype(np.float32)
+    got = BasicConv2d(7, (3, 3), strides=(2, 2), padding=(1, 1)).apply(
+        jax.tree.map(jnp.asarray, variables), jnp.asarray(x)
+    )
+    with torch.no_grad():
+        want = torch.relu(bn(conv(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))))
+    np.testing.assert_allclose(
+        np.asarray(got), np.transpose(want.numpy(), (0, 2, 3, 1)), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_avg_pool_variants_match_torch():
+    """count_include_pad=False (FID variant) vs =True (torchvision default)."""
+    import torch
+
+    from xmc_gan_tpu.models.inception import (
+        _avg_pool_3x3_exclude_pad,
+        _avg_pool_3x3_include_pad,
+    )
+
+    x = np.random.RandomState(2).randn(1, 6, 6, 3).astype(np.float32)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    for fn, include in ((_avg_pool_3x3_exclude_pad, False),
+                        (_avg_pool_3x3_include_pad, True)):
+        got = fn(jnp.asarray(x))
+        want = torch.nn.functional.avg_pool2d(
+            tx, 3, stride=1, padding=1, count_include_pad=include
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.transpose(want.numpy(), (0, 2, 3, 1)),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_inception_shapes_and_param_count():
+    """Structural invariants: 2048-dim pool3 output and the canonical
+    InceptionV3 trunk parameter count (fixed snapshot guards the topology)."""
+    from xmc_gan_tpu.utils.miscc import count_params
+
+    model = InceptionV3(fid_variant=True)
+    x = jnp.zeros((1, 75, 75, 3))  # preprocess resizes to 299
+    variables = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), preprocess(x)
+    )
+    feats_shape = jax.eval_shape(
+        lambda v: model.apply(v, preprocess(x)), variables
+    )
+    assert feats_shape.shape == (1, 2048)
+    # torchvision inception_v3 totals 27,161,264 params; minus fc (2,049,000)
+    # and AuxLogits (3,326,696) the trunk is 21,785,568 — matched exactly.
+    assert count_params(variables["params"]) == 21_785_568
+
+
+def test_feature_stats_match_numpy_cov():
+    rng = np.random.RandomState(0)
+    feats = rng.randn(500, 16).astype(np.float32)
+    st = FeatureStats(16)
+    for i in range(0, 500, 100):
+        st.update(feats[i : i + 100])
+    mu, sigma = st.finalize(all_reduce=False)
+    np.testing.assert_allclose(mu, feats.mean(0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sigma, np.cov(feats, rowvar=False), rtol=1e-4, atol=1e-6)
+
+
+def test_fid_from_stats_properties():
+    rng = np.random.RandomState(1)
+    a = rng.randn(800, 8)
+    b = a + 3.0  # pure mean shift: FID = ||diff||^2 = 8*9 = 72
+    mu_a, sig_a = a.mean(0), np.cov(a, rowvar=False)
+    mu_b, sig_b = b.mean(0), np.cov(b, rowvar=False)
+    assert fid_from_stats(mu_a, sig_a, mu_a, sig_a) == pytest.approx(0.0, abs=1e-6)
+    assert fid_from_stats(mu_a, sig_a, mu_b, sig_b) == pytest.approx(72.0, rel=1e-6)
+
+
+def test_evaluate_fid_end_to_end_synthetic():
+    """Full loop with the random-init fallback extractor: same distribution
+    twice -> small FID; G output vs real -> finite, larger."""
+    from xmc_gan_tpu.config import cfg_from_dict
+    from xmc_gan_tpu.data import DataLoader, SyntheticDataset
+    from xmc_gan_tpu.trainer import make_encode_fn
+    from xmc_gan_tpu.train import create_train_state
+
+    cfg = cfg_from_dict({
+        "TRAIN": {"NCH": 8, "NEF": 32, "NOISE_DIM": 16, "BATCH_SIZE": 8},
+        "IMG": {"SIZE": 64},
+        "TEXT": {"EMBEDDING_DIM": 48, "MAX_LENGTH": 8, "VOCA_SIZE": 100},
+        "DISC": {"IMG_MATCH": True},
+    })
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    encode = make_encode_fn(cfg, synthetic=True)
+    loader = DataLoader(SyntheticDataset(cfg, 16, "test"), 8, drop_last=True)
+    fid_value = evaluate_fid(
+        cfg, state.g_params, encode, loader, num_samples=16, seed=0
+    )
+    assert np.isfinite(fid_value) and fid_value > 0

@@ -41,6 +41,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     t.add_argument("--max_steps", type=int, default=None)
     t.add_argument("--save_after", type=int, default=50,
                    help="checkpoint every epoch once epoch > this (reference: 50)")
+    t.add_argument("--no_eval_fid", action="store_true",
+                   help="skip the post-checkpoint FID eval")
+    t.add_argument("--eval_num_samples", type=int, default=6000)
     t.add_argument("--dp", type=int, default=None, help="data-parallel mesh size")
     t.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
     t.add_argument("--distributed", action="store_true",
@@ -85,6 +88,8 @@ def run_train(args: argparse.Namespace) -> dict:
         synthetic_len=args.synthetic_len,
         mesh=mesh,
         save_after=args.save_after,
+        eval_fid=not args.no_eval_fid,
+        eval_num_samples=args.eval_num_samples,
     )
     trainer.logger.info("Using config:")
     trainer.logger.info(str(cfg.to_dict()))

@@ -1,0 +1,176 @@
+"""Evaluation: jitted sampling + Fréchet Inception Distance.
+
+Reference ``eval`` (``train_gan.py:338-396``): generate ``num_samples=6000``
+test images with fresh noise, save PNGs per key (originals saved once), then
+``pytorch_fid.calculate_fid_given_paths([org, fake], bs=100, dims=2048)`` —
+a disk round-trip through PNG files and a separate InceptionV3 pass.
+
+TPU-native design: generated images stay on device and stream straight through
+the jitted Inception feature extractor; FID statistics are accumulated as
+running (sum, outer-product-sum, count) — O(D^2) memory, single pass — and
+reduced across hosts before the final host-side sqrtm.  PNG saving is optional
+(kept for artifact parity, off the hot path).
+
+Weights: ``FID_WEIGHTS_PATH`` env var or ``weights_path=`` pointing at a
+torchvision ``inception_v3`` or pytorch_fid checkpoint (``utils/convert``
+handles both layouts).  Without weights, ``FidComputer`` falls back to a
+fixed-seed random-init Inception — self-consistent for relative tracking in
+smoke runs, clearly flagged, never comparable to published FID numbers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmc_gan_tpu.config import Config
+from xmc_gan_tpu.models.inception import (
+    InceptionV3,
+    inception_params_from_torch,
+    preprocess,
+)
+
+__all__ = ["FeatureStats", "FidComputer", "fid_from_stats", "evaluate_fid"]
+
+
+def fid_from_stats(
+    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray
+) -> float:
+    """Fréchet distance between two Gaussians (Heusel et al. 2017), computed
+    host-side (one 2048x2048 sqrtm; pytorch_fid-equivalent numerics)."""
+    from scipy import linalg
+
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        eps = 1e-6
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+class FeatureStats:
+    """Streaming mean/covariance over feature batches.  Sums accumulate
+    host-side in float64 (jax default config has x64 disabled; features are
+    only 2048 floats/sample so the D2H copy is noise)."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+        self.n = 0
+        self._sum = np.zeros((dim,), np.float64)
+        self._outer = np.zeros((dim, dim), np.float64)
+
+    def update(self, feats) -> None:
+        f = np.asarray(feats, np.float64)
+        self.n += int(f.shape[0])
+        self._sum += f.sum(axis=0)
+        self._outer += f.T @ f
+
+    def finalize(self, all_reduce: bool = True) -> tuple[np.ndarray, np.ndarray]:
+        total, s, o = self.n, self._sum, self._outer
+        if all_reduce and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(
+                {"n": np.asarray(total), "sum": s, "outer": o}
+            )
+            total = int(np.sum(gathered["n"]))
+            s = np.sum(gathered["sum"], axis=0)
+            o = np.sum(gathered["outer"], axis=0)
+        if total < 2:
+            raise ValueError(f"Need >= 2 samples for covariance, got {total}")
+        mu = s / total
+        sigma = (o - total * np.outer(mu, mu)) / (total - 1)
+        return mu, sigma
+
+
+class FidComputer:
+    """Jitted Inception pool3 features + streaming stats + final FID."""
+
+    DIM = 2048
+
+    def __init__(self, weights_path: str | None = None, batch_size: int = 100):
+        self.batch_size = batch_size
+        self.model = InceptionV3(fid_variant=True)
+        weights_path = weights_path or os.environ.get("FID_WEIGHTS_PATH", "")
+        self.pretrained = bool(weights_path) and os.path.isfile(weights_path)
+        if self.pretrained:
+            from xmc_gan_tpu.utils.convert import load_state_dict
+
+            self.variables = jax.tree.map(
+                jnp.asarray, inception_params_from_torch(load_state_dict(weights_path))
+            )
+        else:
+            # deterministic random-init fallback: relative tracking only
+            dummy = jnp.zeros((1, 299, 299, 3), jnp.float32)
+            self.variables = self.model.init(jax.random.PRNGKey(2015), dummy)
+
+        @jax.jit
+        def features(images):
+            return self.model.apply(self.variables, preprocess(images))
+
+        self._features = features
+
+    def stats(self) -> FeatureStats:
+        return FeatureStats(self.DIM)
+
+    def update(self, stats: FeatureStats, images) -> None:
+        """``images``: [-1, 1] float NHWC batch (any spatial size)."""
+        stats.update(self._features(jnp.asarray(images)))
+
+    def fid(self, real: FeatureStats, fake: FeatureStats) -> float:
+        mu_r, sig_r = real.finalize()
+        mu_f, sig_f = fake.finalize()
+        return fid_from_stats(mu_r, sig_r, mu_f, sig_f)
+
+
+def evaluate_fid(
+    cfg: Config,
+    g_params,
+    encode_fn: Callable,
+    test_loader: Iterable,
+    *,
+    num_samples: int = 6000,
+    seed: int = 0,
+    save_dir: str | None = None,
+    org_dir: str | None = None,
+    fid: FidComputer | None = None,
+    sample_fn: Callable | None = None,
+) -> float:
+    """The reference eval loop (``train_gan.py:338-396``) without the disk
+    round-trip: per test batch, fresh noise -> G -> features; real images
+    stream through the same extractor.  Optional PNG dirs keep the reference's
+    image artifacts (``{save_dir}/{key}.png``)."""
+    from xmc_gan_tpu.train import make_sample_fn
+
+    fid = fid or FidComputer()
+    sample_fn = sample_fn or make_sample_fn(cfg)
+    real_stats, fake_stats = fid.stats(), fid.stats()
+    rng = jax.random.PRNGKey(seed)
+    done = 0
+    for batch in test_loader:
+        words, sent, mask = encode_fn(batch)
+        bs = sent.shape[0]
+        rng, nrng = jax.random.split(rng)
+        noise = jax.random.normal(nrng, (bs, cfg.TRAIN.NOISE_DIM), jnp.float32)
+        fake = sample_fn(g_params, noise, sent, words, mask)
+        fid.update(fake_stats, fake)
+        fid.update(real_stats, jnp.asarray(batch["imgs"]))
+        if save_dir:
+            from xmc_gan_tpu.utils.miscc import save_images
+
+            save_images(np.asarray(fake), batch["keys"], save_dir)
+        if org_dir:
+            from xmc_gan_tpu.utils.miscc import save_images
+
+            save_images(np.asarray(batch["imgs"]), batch["keys"], org_dir)
+        done += bs * jax.process_count()
+        if done >= num_samples:  # reference stops at 6000 (train_gan.py:386-387)
+            break
+    return fid.fid(real_stats, fake_stats)

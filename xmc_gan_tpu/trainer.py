@@ -111,12 +111,14 @@ class Trainer:
         save_after: int = 50,
         num_threads: int = 8,
         eval_num_samples: int = 6000,
+        eval_fid: bool = True,
     ):
         self.cfg = cfg
         self.seed = seed
         self.mesh = mesh
         self.save_after = save_after
         self.eval_num_samples = eval_num_samples
+        self.eval_fid = eval_fid
         self.rank = jax.process_index()
 
         out = f"{output_root}/{cfg.DATASET_NAME}{cfg.IMG.SIZE}_{cfg.CONFIG_NAME}_{seed}"
@@ -248,6 +250,31 @@ class Trainer:
                 np.asarray(fake), f"{self.img_dir}/fake_samples_epoch_{epoch:03d}.png"
             )
 
+    def evaluate(self, epoch: int) -> float:
+        """Post-checkpoint FID eval (reference ``train_gan.py:334,338-396``):
+        6000 fresh-noise samples against test images through Inception pool3."""
+        from xmc_gan_tpu.eval import FidComputer, evaluate_fid
+
+        if not hasattr(self, "_fid"):
+            self._fid = FidComputer()
+            if not self._fid.pretrained:
+                self.logger.info(
+                    "FID: no Inception weights found (FID_WEIGHTS_PATH unset) — "
+                    "using a fixed random-init extractor; values track relative "
+                    "progress only."
+                )
+        fid_value = evaluate_fid(
+            self.cfg,
+            self.state.g_params,
+            self.encode,
+            self.test_loader,
+            num_samples=self.eval_num_samples,
+            seed=self.seed + epoch,
+            fid=self._fid,
+        )
+        self.logger.info(f"epoch : {epoch}, FID : {fid_value:.3f}")
+        return fid_value
+
     # ------------------------------------------------------------------ #
 
     def fit(
@@ -302,6 +329,9 @@ class Trainer:
                 self.logger.info("Save models")
                 if eval_fn is not None:
                     eval_fn(self, epoch)
+                elif self.eval_fid:
+                    fid_value = self.evaluate(epoch)
+                    self.writer.scalars(epoch, {"FID": fid_value})
             if max_steps and steps_done >= max_steps:
                 break
 
