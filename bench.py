@@ -39,7 +39,7 @@ def main() -> None:
     from xmc_gan_tpu.config import cfg_from_dict
     from xmc_gan_tpu.train import create_train_state, make_train_step
 
-    batch_size = 32
+    batch_size = 128  # best measured images/sec/chip at 256² on v5e (BASELINE.md)
     cfg = cfg_from_dict({
         "CONFIG_NAME": "BENCH_256",
         "TRAIN": {
@@ -55,7 +55,8 @@ def main() -> None:
     })
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    # bf16 activations, fp32 params/losses — the production TPU configuration
+    step = jax.jit(make_train_step(cfg, dtype=jnp.bfloat16), donate_argnums=(0,))
 
     rng = np.random.RandomState(0)
     batch = {

@@ -1,0 +1,109 @@
+"""Word-region contrastive loss: golden test vs a NumPy transliteration of the
+AttnGAN/DAMSM attentional score, mask invariance, and a full train step with
+ENCODER_LOSS.WORD enabled."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xmc_gan_tpu import losses
+from xmc_gan_tpu.config import cfg_from_dict
+
+
+def _np_word_score(regions, words, mask, g1=4.0, g2=5.0, g3=10.0):
+    """NumPy reference of the attentional matching score matrix [B_img, B_cap]."""
+    def norm(x, axis):
+        return x / np.maximum(np.linalg.norm(x, axis=axis, keepdims=True), 1e-12)
+
+    r = norm(regions.astype(np.float64), -1)  # [B, R, D]
+    w = norm(words.astype(np.float64), -1)  # [B, T, D]
+    B, T, _ = w.shape
+    R = r.shape[1]
+    score = np.zeros((B, B))
+    for i in range(B):  # image
+        for j in range(B):  # caption
+            sim = w[j] @ r[i].T  # [T, R]
+            e = np.exp(g1 * sim)
+            attn = e / e.sum(axis=1, keepdims=True)
+            ctx = attn @ r[i]  # [T, D]
+            ctx = norm(ctx, -1)
+            rel = (ctx * w[j]).sum(-1)  # [T]
+            valid = ~mask[j]
+            score[i, j] = np.log(np.exp(g2 * rel[valid]).sum()) / g2
+    return g3 * score
+
+
+def test_word_loss_matches_numpy_golden():
+    rng = np.random.RandomState(0)
+    B, R, T, D = 5, 9, 6, 12
+    regions = rng.randn(B, R, D).astype(np.float32)
+    words = rng.randn(B, T, D).astype(np.float32)
+    mask = np.zeros((B, T), bool)
+    for i, L in enumerate([6, 3, 5, 2, 4]):
+        mask[i, L:] = True
+    labels = np.eye(B, dtype=np.float32)
+
+    want_scores = _np_word_score(regions, words, mask)
+    # InfoNCE on the golden scores (num_pos = 1 when b_global off)
+    def logsm(x, axis):
+        m = x.max(axis=axis, keepdims=True)
+        return x - m - np.log(np.exp(x - m).sum(axis=axis, keepdims=True))
+
+    want = (-(logsm(want_scores, 0) * labels).sum(0)).mean() + \
+           (-(logsm(want_scores, 1) * labels).sum(1)).mean()
+
+    got = losses.word_loss(
+        jnp.asarray(regions), jnp.asarray(words), jnp.asarray(mask),
+        jnp.asarray(labels), False, 0.5,
+    )
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_word_loss_ignores_padded_words():
+    rng = np.random.RandomState(1)
+    B, R, T, D = 4, 8, 5, 10
+    regions = jnp.asarray(rng.randn(B, R, D), jnp.float32)
+    words = rng.randn(B, T, D).astype(np.float32)
+    mask = np.zeros((B, T), bool)
+    mask[:, 3:] = True
+    labels = jnp.eye(B)
+    a = losses.word_loss(regions, jnp.asarray(words), jnp.asarray(mask),
+                         labels, False, 0.5)
+    words2 = words.copy()
+    words2[:, 3:, :] += 37.0
+    b = losses.word_loss(regions, jnp.asarray(words2), jnp.asarray(mask),
+                         labels, False, 0.5)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+
+def test_train_step_with_word_loss():
+    from xmc_gan_tpu.train import create_train_state, make_train_step
+
+    cfg = cfg_from_dict({
+        "TRAIN": {
+            "NCH": 8, "NEF": 32, "NOISE_DIM": 16, "HE_INIT": True,
+            "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1,
+            "ENCODER_LOSS": {"SENT": True, "DISC": True, "WORD": True,
+                             "B_GLOBAL": True},
+            "SMOOTH": {"GLOBAL": 0.0, "WORD": 0.5},
+        },
+        "IMG": {"SIZE": 64},
+        "TEXT": {"EMBEDDING_DIM": 48, "MAX_LENGTH": 8},
+        "DISC": {"SPEC_NORM": True, "IMG_MATCH": True},
+    })
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    # the region head exists only when WORD is on
+    assert "region_proj" in state.d_params
+    rng = np.random.RandomState(0)
+    batch = {
+        "imgs": jnp.asarray(rng.uniform(-1, 1, (8, 64, 64, 3)), jnp.float32),
+        "sent_embs": jnp.asarray(rng.randn(8, 48), jnp.float32),
+        "words_embs": jnp.asarray(rng.randn(8, 8, 48), jnp.float32),
+        "mask": jnp.asarray(rng.rand(8, 8) > 0.7),
+    }
+    step = jax.jit(make_train_step(cfg))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert "ds_word" in metrics and "gs_word" in metrics
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert float(metrics["ds_word"]) > 0 and float(metrics["gs_word"]) > 0

@@ -44,6 +44,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     t.add_argument("--no_eval_fid", action="store_true",
                    help="skip the post-checkpoint FID eval")
     t.add_argument("--eval_num_samples", type=int, default=6000)
+    t.add_argument("--dtype", default=None, choices=[None, "bf16", "fp32"],
+                   help="activation dtype (default: bf16 on TPU, fp32 on CPU)")
     t.add_argument("--dp", type=int, default=None, help="data-parallel mesh size")
     t.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
     t.add_argument("--distributed", action="store_true",
@@ -54,6 +56,7 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 def run_train(args: argparse.Namespace) -> dict:
     import jax
+    import jax.numpy as jnp
 
     if args.distributed:
         jax.distributed.initialize()
@@ -90,6 +93,7 @@ def run_train(args: argparse.Namespace) -> dict:
         save_after=args.save_after,
         eval_fid=not args.no_eval_fid,
         eval_num_samples=args.eval_num_samples,
+        dtype={"bf16": jnp.bfloat16, "fp32": jnp.float32, None: None}[args.dtype],
     )
     trainer.logger.info("Using config:")
     trainer.logger.info(str(cfg.to_dict()))

@@ -54,12 +54,19 @@ class EncoderLossConfig:
 
 @dataclass(frozen=True)
 class SmoothConfig:
-    """Loss weights (reference ``config/gan.py:39-43``)."""
+    """Loss weights (reference ``config/gan.py:39-43``).
+
+    ``WORD`` is a schema *extension*: the reference declares the
+    ``ENCODER_LOSS.WORD`` flag but no weight (its implementation raises
+    ``NotImplementedError``); this framework implements the word-region loss
+    (``losses.word_loss``), weighted here.  Reference YAMLs never set it, so
+    strict-merge parity is unaffected."""
 
     MISMATCH: float = 1.0
     GLOBAL: float = 0.5
     SENT: float = 1.0
     DISC: float = 1.0
+    WORD: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -171,8 +171,16 @@ class _TextDatasetBase:
             f"{self.data_dir}/images/{key}.jpg", self.img_size, self.mode, rng
         )
         sent_ix = 1  # reference quirk: fixed second caption (dataset.py:50-52)
-        cap, cap_len = self.get_caption(idx * self.caps_per_image + sent_ix)
-        return {"imgs": img, "caps": cap, "cap_lens": cap_len, "keys": key}
+        cap_idx = idx * self.caps_per_image + sent_ix
+        cap, cap_len = self.get_caption(cap_idx)
+        return {
+            "imgs": img,
+            "caps": cap,
+            "cap_lens": cap_len,
+            "cap_idx": cap_idx,  # index into the caption list / SBERT cache
+            "keys": key,
+            "mode": self.mode,
+        }
 
 
 class WordTextDataset(_TextDatasetBase):

@@ -40,6 +40,7 @@ __all__ = [
     "contrastive_num_pos",
     "sent_loss",
     "img_loss",
+    "word_loss",
     "hinge_real",
     "hinge_fake",
     "generator_loss",
@@ -149,6 +150,52 @@ def img_loss(
     num_pos = contrastive_num_pos(labels, b_global, smooth_global)
     scores = cosine_scores(real_feats, fake_feats)
     return _symmetric_info_nce(scores, labels, num_pos)
+
+
+def word_loss(
+    region_feats: Array,
+    words_embs: Array,
+    mask: Array,
+    labels: Array,
+    b_global: bool,
+    smooth_global: float,
+    gamma1: float = 4.0,
+    gamma2: float = 5.0,
+    gamma3: float = 10.0,
+) -> Array:
+    """Word-region attentional contrastive loss (XMC-GAN's third objective).
+
+    The reference defines the ``ENCODER_LOSS.WORD`` flag but raises
+    ``NotImplementedError`` (``train_gan.py:220-222,267``); this implements the
+    north-star objective using the standard attentional matching score
+    (AttnGAN/DAMSM, as used by XMC-GAN): per (image, caption) pair, each word
+    soft-attends over image regions (temperature ``gamma1``), word relevances
+    aggregate by log-sum-exp (``gamma2``), and the resulting [B, B] score
+    matrix (scaled by ``gamma3``) feeds the same symmetric label-weighted
+    InfoNCE as ``sent_loss``.  Padded words (``mask`` True) are excluded.
+
+    ``region_feats``: [B, R, D] spatial discriminator features;
+    ``words_embs``: [B, T, D]; rows of the score matrix index images.
+    Everything is computed in float32 (one [B, B, T, R] einsum — negligible
+    next to the conv stacks, and XLA turns the batch axes into one fused
+    contraction on the MXU).
+    """
+    num_pos = contrastive_num_pos(labels, b_global, smooth_global)
+    r = l2_normalize(region_feats.astype(jnp.float32), axis=-1)  # [B, R, D]
+    w = l2_normalize(words_embs.astype(jnp.float32), axis=-1)  # [B, T, D]
+
+    # word -> region attention per (image i, caption j) pair
+    sim = jnp.einsum("jtd,ird->ijtr", w, r)  # [B_img, B_cap, T, R]
+    attn = jax.nn.softmax(gamma1 * sim, axis=-1)
+    ctx = jnp.einsum("ijtr,ird->ijtd", attn, r)  # region context per word
+    ctx = l2_normalize(ctx, axis=-1)
+    rel = jnp.einsum("ijtd,jtd->ijt", ctx, w)  # cosine(context, word)
+
+    # masked log-sum-exp over real words: R(Q,D) = logsumexp(gamma2*rel)/gamma2
+    neg = jnp.asarray(-1e30, jnp.float32)
+    rel = jnp.where(mask[None, :, :], neg, gamma2 * rel)
+    score = jax.nn.logsumexp(rel, axis=-1) / gamma2  # [B_img, B_cap]
+    return _symmetric_info_nce(gamma3 * score, labels, num_pos)
 
 
 def hinge_real(logits: Array) -> Array:

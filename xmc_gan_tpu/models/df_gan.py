@@ -300,6 +300,20 @@ class NetD(nn.Module):
             for i in range(1, arch["depth"])
         ]
         self.cond_dnet = DGetLogits(cfg)
+        # word-region loss head: 1x1 projection of the 16x16-resolution trunk
+        # stage into the word-embedding space (no reference counterpart — the
+        # reference's ENCODER_LOSS.WORD raises NotImplementedError,
+        # train_gan.py:220-222; this powers losses.word_loss).
+        self.uses_word_loss = cfg.TRAIN.ENCODER_LOSS.WORD
+        # stage whose *output* sits at resolution 16 (arch resolutions are the
+        # per-stage output resolutions, index 0 = conv_img stage)
+        self._region_stage = arch["resolution"].index(16)
+        if self.uses_word_loss:
+            kr, br = inits(he, arch["out_channels"][self._region_stage])
+            self.region_proj = SNConv(
+                cfg.TEXT.EMBEDDING_DIM, 1, spec_norm=spec_norm,
+                kernel_init=kr, bias_init=br,
+            )
 
     def __call__(self, x: Array) -> Array:
         out = self.conv_img(x.astype(self.dtype))
@@ -307,10 +321,26 @@ class NetD(nn.Module):
             out = block(out)
         return out
 
+    def features_and_regions(self, x: Array) -> tuple[Array, Array]:
+        """One trunk pass returning (4x4 features, [B, 256, text_dim] region
+        projections from the 16x16 stage) for the word-region loss."""
+        out = self.conv_img(x.astype(self.dtype))
+        regions = out if self._region_stage == 0 else None
+        for i, block in enumerate(self.downblocks):
+            out = block(out)
+            if i + 1 == self._region_stage:
+                regions = out
+        r = self.region_proj(regions)
+        b, h, w, d = r.shape
+        return out, r.reshape(b, h * w, d)
+
     def logits(self, features: Array, sent_embs: Array) -> tuple[Array, Array, Array]:
         return self.cond_dnet(features, sent_embs.astype(self.dtype))
 
     def d_all(self, x: Array, sent_embs: Array) -> tuple[Array, Array, Array]:
         """Trunk + projection head in one call — use as the ``method`` for
         ``init`` so the head's parameters are created."""
+        if self.uses_word_loss:
+            feats, _ = self.features_and_regions(x)
+            return self.logits(feats, sent_embs)
         return self.logits(self(x), sent_embs)

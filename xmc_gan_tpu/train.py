@@ -144,11 +144,14 @@ def make_train_step(
     t = cfg.TRAIN
     el = t.ENCODER_LOSS
     use_labels = el.SENT or el.WORD or el.DISC or el.VGG
-    if el.WORD or el.VGG:
-        # Reference raises NotImplementedError for these branches
-        # (train_gan.py:220-222,280-282).
-        raise NotImplementedError("ENCODER_LOSS.WORD / .VGG are not implemented "
-                                  "(parity with reference train_gan.py:221,281)")
+    if el.VGG:
+        # Reference raises NotImplementedError here (train_gan.py:280-282);
+        # WORD — which the reference also leaves unimplemented (:220-222) —
+        # is supported via losses.word_loss + NetD.features_and_regions.
+        raise NotImplementedError(
+            "ENCODER_LOSS.VGG is not implemented (parity with reference "
+            "train_gan.py:281)"
+        )
 
     def g_apply(g_params, noise, sent, words, mask):
         return g_model.apply({"params": g_params}, noise, sent, words, mask)
@@ -163,6 +166,12 @@ def make_train_step(
         if d_spectral:
             variables["spectral"] = d_spectral
         return d_model.apply(variables, x)
+
+    def d_apply_regions(d_params, d_spectral, x):
+        variables = {"params": d_params}
+        if d_spectral:
+            variables["spectral"] = d_spectral
+        return d_model.apply(variables, x, method="features_and_regions")
 
     def d_logits(d_params, d_spectral, feats, sent):
         variables = {"params": d_params}
@@ -195,7 +204,10 @@ def make_train_step(
 
         # ------------------------------------------------------- D update 1
         def d_loss_fn(d_params):
-            feats_real = d_apply(d_params, spectral, imgs)
+            if el.WORD:
+                feats_real, regions_real = d_apply_regions(d_params, spectral, imgs)
+            else:
+                feats_real = d_apply(d_params, spectral, imgs)
             match_real, img_feat_real, sent_proj = d_logits(d_params, spectral, feats_real, psent)
             errD_real = losses.hinge_real(match_real)
 
@@ -213,11 +225,17 @@ def make_train_step(
 
             enc_loss = jnp.zeros((), jnp.float32)
             ds_loss = jnp.zeros((), jnp.float32)
+            ds_word = jnp.zeros((), jnp.float32)
             if el.SENT:
                 ds_loss = losses.sent_loss(
                     img_feat_real, sent_proj, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL
                 )
                 enc_loss = enc_loss + t.SMOOTH.SENT * ds_loss
+            if el.WORD:
+                ds_word = losses.word_loss(
+                    regions_real, words, mask, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL
+                )
+                enc_loss = enc_loss + t.SMOOTH.WORD * ds_word
 
             errD = errD_real + mis_loss * t.SMOOTH.MISMATCH + enc_loss
             aux = {
@@ -225,6 +243,7 @@ def make_train_step(
                 "errD_fake": errD_fake,
                 "errD_mismatch": errD_mismatch,
                 "ds_loss": ds_loss,
+                "ds_word": ds_word,
             }
             return errD, aux
 
@@ -254,18 +273,27 @@ def make_train_step(
             def g_loss_fn(gp):
                 fake_g = g_apply(gp, noise, sent, words, mask)
                 psent_g = project_sent(gp, sent)
-                feats = d_apply(d_params, spectral, fake_g)
+                if el.WORD:
+                    feats, regions_fake = d_apply_regions(d_params, spectral, fake_g)
+                else:
+                    feats = d_apply(d_params, spectral, fake_g)
                 match, img_feat_fake, sent_proj = d_logits(d_params, spectral, feats, psent_g)
                 errG_fake = losses.generator_loss(match)
 
                 enc_loss = jnp.zeros((), jnp.float32)
                 gs_loss = jnp.zeros((), jnp.float32)
+                gs_word = jnp.zeros((), jnp.float32)
                 disc_loss = jnp.zeros((), jnp.float32)
                 if el.SENT:
                     gs_loss = losses.sent_loss(
                         img_feat_fake, sent_proj, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL
                     )
                     enc_loss = enc_loss + t.SMOOTH.SENT * gs_loss
+                if el.WORD:
+                    gs_word = losses.word_loss(
+                        regions_fake, words, mask, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL
+                    )
+                    enc_loss = enc_loss + t.SMOOTH.WORD * gs_word
                 if el.DISC:
                     feats_real = jax.lax.stop_gradient(d_apply(d_params, spectral, imgs))
                     rf = avg_pool(feats_real, 4).reshape(bs, -1)
@@ -276,26 +304,29 @@ def make_train_step(
                     enc_loss = enc_loss + t.SMOOTH.DISC * disc_loss
 
                 errG = errG_fake + enc_loss
-                return errG, {"gs_loss": gs_loss, "disc_loss": disc_loss}
+                return errG, {"gs_loss": gs_loss, "gs_word": gs_word,
+                              "disc_loss": disc_loss}
 
             (errG, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(g_params)
             g_updates, g_opt_state = g_tx.update(g_grads, g_opt_state, g_params)
             g_params = optax.apply_updates(g_params, g_updates)
-            return g_params, g_opt_state, errG, g_aux["gs_loss"], g_aux["disc_loss"]
+            return g_params, g_opt_state, errG, g_aux
 
         def g_skip(operand):
             g_params, g_opt_state = operand
             zero = jnp.zeros((), jnp.float32)
-            return g_params, g_opt_state, zero, zero, zero
+            return g_params, g_opt_state, zero, {
+                "gs_loss": zero, "gs_word": zero, "disc_loss": zero
+            }
 
         if t.N_CRITIC == 1:
-            g_params, g_opt_state, errG, gs_loss, disc_loss = g_step(
+            g_params, g_opt_state, errG, g_aux = g_step(
                 (state.g_params, state.g_opt_state)
             )
             g_updated = jnp.ones((), bool)
         else:
             do_g = (state.step + 1) % t.N_CRITIC == 0
-            g_params, g_opt_state, errG, gs_loss, disc_loss = jax.lax.cond(
+            g_params, g_opt_state, errG, g_aux = jax.lax.cond(
                 do_g, g_step, g_skip, (state.g_params, state.g_opt_state)
             )
             g_updated = do_g
@@ -315,11 +346,14 @@ def make_train_step(
             "errD_fake": d_aux["errD_fake"],
             "errD_mismatch": d_aux["errD_mismatch"],
             "ds_loss": d_aux["ds_loss"],
-            "gs_loss": gs_loss,
-            "disc_loss": disc_loss,
+            "gs_loss": g_aux["gs_loss"],
+            "disc_loss": g_aux["disc_loss"],
             "d_loss_gp": d_loss_gp,
             "g_updated": g_updated,
         }
+        if el.WORD:
+            metrics["ds_word"] = d_aux["ds_word"]
+            metrics["gs_word"] = g_aux["gs_word"]
         return new_state, metrics
 
     return train_step

@@ -40,7 +40,9 @@ from xmc_gan_tpu.utils.miscc import count_params, save_image_grid
 __all__ = ["Trainer", "make_encode_fn"]
 
 
-def make_encode_fn(cfg: Config, *, synthetic: bool = False) -> Callable:
+def make_encode_fn(
+    cfg: Config, *, synthetic: bool = False, data_dir: str | None = None
+) -> Callable:
     """Jitted frozen text-encoder forward: batch -> (words, sent, mask).
 
     WORD/RNN: the DAMSM bi-RNN with weights from ``TEXT.ENCODER_DIR`` when the
@@ -72,6 +74,11 @@ def make_encode_fn(cfg: Config, *, synthetic: bool = False) -> Callable:
 
     if name == "SBERT":
         enc = SBERTEncoder(cfg)
+
+        @jax.jit
+        def pool(token_embs, attn):
+            return enc.apply({}, token_embs, attn)
+
         if synthetic:
             table = jax.random.normal(
                 jax.random.PRNGKey(42),
@@ -85,12 +92,22 @@ def make_encode_fn(cfg: Config, *, synthetic: bool = False) -> Callable:
                 return enc.apply({}, table[caps], attn)
 
             return lambda batch: encode(jnp.asarray(batch["caps"]))
-        raise NotImplementedError(
-            "SENT datasets need precomputed SBERT token embeddings "
-            "(run the RoBERTa encode in the data pipeline); online "
-            "SentenceTransformer-in-the-loop is deliberately not supported "
-            "on the TPU path."
-        )
+
+        if data_dir is None:
+            raise ValueError("SENT encoding from disk needs data_dir")
+        from xmc_gan_tpu.data.text_encode import SbertCache
+
+        caches: dict[str, SbertCache] = {}
+
+        def encode_cached(batch):
+            mode = batch.get("mode", ["train"])[0] if isinstance(
+                batch.get("mode"), list) else batch.get("mode", "train")
+            if mode not in caches:
+                caches[mode] = SbertCache(data_dir, mode)
+            tok, attn = caches[mode](batch["cap_idx"])
+            return pool(jnp.asarray(tok), jnp.asarray(attn))
+
+        return encode_cached
     raise KeyError(f"Unknown TEXT.ENCODER_NAME {name!r}")
 
 
@@ -112,6 +129,7 @@ class Trainer:
         num_threads: int = 8,
         eval_num_samples: int = 6000,
         eval_fid: bool = True,
+        dtype=None,
     ):
         self.cfg = cfg
         self.seed = seed
@@ -155,12 +173,19 @@ class Trainer:
         )
 
         # ------------------------------------------------- encoder + step
-        self.encode = make_encode_fn(cfg, synthetic=synthetic)
+        # bf16 activations on TPU by default (params/losses stay fp32); CPU
+        # (tests, simulated meshes) defaults to fp32.
+        if dtype is None:
+            dtype = (
+                jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
+            )
+        self.dtype = dtype
+        self.encode = make_encode_fn(cfg, synthetic=synthetic, data_dir=data_dir)
         self.state = create_train_state(cfg, jax.random.PRNGKey(seed))
         self.logger.info(f"netG # of parameters: {count_params(self.state.g_params)}")
         self.logger.info(f"netD # of parameters: {count_params(self.state.d_params)}")
 
-        step_fn = make_train_step(cfg)
+        step_fn = make_train_step(cfg, dtype=dtype)
         if mesh is not None:
             from xmc_gan_tpu.parallel import batch_shardings, state_shardings
 
@@ -243,7 +268,7 @@ class Trainer:
         from xmc_gan_tpu.train import make_sample_fn
 
         if not hasattr(self, "_sample_fn"):
-            self._sample_fn = make_sample_fn(self.cfg)
+            self._sample_fn = make_sample_fn(self.cfg, dtype=self.dtype)
         fake = self._sample_fn(self.state.g_params, noise, sent, words, mask)
         if self.rank == 0:
             save_image_grid(
