@@ -51,6 +51,22 @@ def parse_args(argv=None) -> argparse.Namespace:
     t.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
 
+    e = sub.add_parser("eval", help="FID eval of a checkpoint (reference "
+                                    "eval(), train_gan.py:338-396)")
+    e.add_argument("--cfg", required=True)
+    e.add_argument("--seed", type=int, default=100)
+    e.add_argument("--resume_epoch", type=int, default=0,
+                   help="epoch to evaluate (default: latest checkpoint)")
+    e.add_argument("--data_dir", default=None)
+    e.add_argument("--output_root", default="output")
+    e.add_argument("--synthetic", action="store_true")
+    e.add_argument("--synthetic_len", type=int, default=512)
+    e.add_argument("--num_samples", type=int, default=6000)
+    e.add_argument("--save_images", action="store_true",
+                   help="also write per-key PNGs like the reference eval loop")
+    e.add_argument("--bs", type=int, default=-1)
+    e.add_argument("--imsize", type=int, default=-1)
+
     return p.parse_args(argv)
 
 
@@ -103,11 +119,47 @@ def run_train(args: argparse.Namespace) -> dict:
     return trainer.fit(max_epochs=args.max_epochs, max_steps=args.max_steps)
 
 
+def run_eval(args: argparse.Namespace) -> float:
+    import dataclasses
+
+    from xmc_gan_tpu.config import cfg_from_file
+    from xmc_gan_tpu.eval import evaluate_fid
+    from xmc_gan_tpu.trainer import Trainer
+
+    cfg = cfg_from_file(args.cfg)
+    if args.imsize != -1:
+        cfg = cfg.replace(IMG=cfg.IMG.__class__(SIZE=args.imsize))
+    if args.bs != -1:
+        cfg = cfg.replace(TRAIN=dataclasses.replace(cfg.TRAIN, BATCH_SIZE=args.bs))
+    trainer = Trainer(
+        cfg, seed=args.seed, data_dir=args.data_dir,
+        output_root=args.output_root, log_type="none",
+        synthetic=args.synthetic, synthetic_len=args.synthetic_len,
+        eval_num_samples=args.num_samples,
+    )
+    trainer.resume(args.resume_epoch or None)
+    save_dir = org_dir = None
+    if args.save_images:
+        epoch = trainer.state_epoch
+        save_dir = f"{trainer.img_dir}/eval_{epoch:03d}/fake"
+        org_dir = f"{trainer.img_dir}/eval_{epoch:03d}/org"
+    fid_value = evaluate_fid(
+        cfg, trainer.state.g_params, trainer.encode, trainer.test_loader,
+        num_samples=args.num_samples, seed=args.seed,
+        save_dir=save_dir, org_dir=org_dir,
+    )
+    trainer.logger.info(f"epoch : {trainer.state_epoch}, FID : {fid_value:.3f}")
+    return fid_value
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
     if args.command == "train":
         metrics = run_train(args)
         print({k: round(v, 4) for k, v in metrics.items()})
+        return 0
+    if args.command == "eval":
+        print({"FID": round(run_eval(args), 4)})
         return 0
     raise AssertionError(args.command)
 

@@ -112,10 +112,27 @@ class FidComputer:
             self.variables = self.model.init(jax.random.PRNGKey(2015), dummy)
 
         @jax.jit
-        def features(images):
+        def raw_features(images):
             return self.model.apply(self.variables, preprocess(images))
 
-        self._features = features
+        if self.pretrained:
+            self._features = raw_features
+        else:
+            # random-init BN squashes activations to ~1e-4 scale, making FID
+            # values vanish; standardize per-dim against a fixed probe batch
+            # so relative comparisons live at a readable magnitude.
+            probe = jax.random.uniform(
+                jax.random.PRNGKey(7), (16, 128, 128, 3), jnp.float32, -1, 1
+            )
+            f = raw_features(probe)
+            mu = jnp.mean(f, axis=0)
+            sd = jnp.maximum(jnp.std(f, axis=0), 1e-8)
+
+            @jax.jit
+            def features(images):
+                return (raw_features(images) - mu) / sd
+
+            self._features = features
 
     def stats(self) -> FeatureStats:
         return FeatureStats(self.DIM)

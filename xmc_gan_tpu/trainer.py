@@ -182,6 +182,27 @@ class Trainer:
         self.dtype = dtype
         self.encode = make_encode_fn(cfg, synthetic=synthetic, data_dir=data_dir)
         self.state = create_train_state(cfg, jax.random.PRNGKey(seed))
+        if cfg.DISC.ENCODER_DIR and os.path.isfile(cfg.DISC.ENCODER_DIR):
+            # D warm start from a PyTorch reference checkpoint, strict=False
+            # semantics (reference train_gan.py:494-495); resume() overrides.
+            from xmc_gan_tpu.utils.convert import (
+                df_gan_discriminator_params,
+                load_state_dict,
+                merge_partial,
+            )
+
+            d_sd = load_state_dict(cfg.DISC.ENCODER_DIR)
+            d_upd, spec_upd = df_gan_discriminator_params(d_sd)
+            d_params, skipped = merge_partial(self.state.d_params, d_upd)
+            d_spec, _ = merge_partial(self.state.d_spectral, spec_upd)
+            self.state = self.state.replace(
+                d_params=jax.tree.map(jnp.asarray, d_params),
+                d_spectral=jax.tree.map(jnp.asarray, d_spec),
+            )
+            self.logger.info(
+                f"Warm-started D from {cfg.DISC.ENCODER_DIR}"
+                + (f" (skipped {len(skipped)} tensors)" if skipped else "")
+            )
         self.logger.info(f"netG # of parameters: {count_params(self.state.g_params)}")
         self.logger.info(f"netD # of parameters: {count_params(self.state.d_params)}")
 

@@ -88,3 +88,136 @@ def rnn_encoder_params(state_dict: Mapping[str, Any]) -> dict:
 def load_rnn_encoder(path: str) -> dict:
     """Load + convert the DAMSM text encoder checkpoint in one call."""
     return rnn_encoder_params(load_state_dict(path))
+
+
+# --------------------------------------------------------------------------- #
+# DF-GAN G/D state_dicts (reference model/df_gan.py) -> Flax trees.
+# torch's spectral_norm wrapper stores ``weight_orig`` + power-iteration
+# vectors ``weight_u``/``weight_v``; those map to our kernel + the
+# ``spectral`` variable collection.
+# --------------------------------------------------------------------------- #
+
+
+def _put(tree: dict, path: list[str], leaf) -> None:
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = leaf
+
+
+def _convert_tensor(tree: dict, spectral: dict, path: list[str], leaf_name: str,
+                    arr: np.ndarray, is_conv: bool) -> None:
+    if leaf_name in ("weight", "weight_orig"):
+        kernel = np.transpose(arr, (2, 3, 1, 0)) if is_conv else arr.T
+        _put(tree, path + ["kernel"], np.ascontiguousarray(kernel))
+    elif leaf_name == "bias":
+        _put(tree, path + ["bias"], arr)
+    elif leaf_name == "weight_u":
+        _put(spectral, path + ["u"], arr)
+    elif leaf_name == "weight_v":
+        _put(spectral, path + ["v"], arr)
+    else:
+        raise KeyError(f"Unexpected tensor {'.'.join(path)}.{leaf_name}")
+
+
+def df_gan_generator_params(state_dict: Mapping[str, Any]) -> dict:
+    """Reference ``NetG`` state_dict (``df_gan.py:64-103``) -> our ``NetG``
+    params.  Name map: ``upblocks.{i}`` -> ``block{i}``; ``affine{j}.
+    fc_gamma.linear{k}`` -> ``affine{j}/fc_gamma_{k}``; ``conv_out.1`` (the
+    Conv inside the Sequential) -> ``conv_out``; ``proj_sent`` ->
+    ``proj_sent_dense``."""
+    params: dict = {}
+    for name, value in state_dict.items():
+        arr = np.asarray(value, dtype=np.float32)
+        p = name.split(".")
+        if p[0] == "proj_noise":
+            _convert_tensor(params, {}, ["proj_noise"], p[-1], arr, is_conv=False)
+        elif p[0] == "proj_sent":
+            _convert_tensor(params, {}, ["proj_sent_dense"], p[-1], arr, is_conv=False)
+        elif p[0] == "upblocks":
+            block = f"block{p[1]}"
+            sub = p[2]
+            if sub in ("c1", "c2", "c_sc"):
+                _convert_tensor(params, {}, [block, sub], p[-1], arr, is_conv=True)
+            elif sub == "gamma":
+                _put(params, [block, "gamma"], arr.reshape(1))
+            elif sub.startswith("affine"):
+                # affine{j}.fc_gamma.linear{k}.weight -> affine{j}/fc_gamma_{k}
+                fc, linear = p[3], p[4]  # fc_gamma|fc_beta, linear1|linear2
+                leaf = f"{fc}_{linear[-1]}"
+                _convert_tensor(params, {}, [block, sub, leaf], p[-1], arr,
+                                is_conv=False)
+            else:
+                raise KeyError(f"Unexpected NetG tensor {name}")
+        elif p[0] == "conv_out":
+            _convert_tensor(params, {}, ["conv_out"], p[-1], arr, is_conv=True)
+        else:
+            raise KeyError(f"Unexpected NetG tensor {name}")
+    return params
+
+
+def df_gan_discriminator_params(state_dict: Mapping[str, Any]) -> tuple[dict, dict]:
+    """Reference ``NetD`` state_dict (``df_gan.py:106-176``) -> (params,
+    spectral) trees.  Name map: ``downblocks.{i}`` -> ``block{i+1}`` (our
+    blocks are numbered by arch stage); ``conv_r.0/.2`` -> ``conv_r1/conv_r2``;
+    ``COND_DNET`` -> ``cond_dnet`` with ``joint_conv.0/.2`` ->
+    ``joint_conv1/joint_conv2``."""
+    params: dict = {}
+    spectral: dict = {}
+    for name, value in state_dict.items():
+        arr = np.asarray(value, dtype=np.float32)
+        p = name.split(".")
+        if p[0] == "conv_img":
+            _convert_tensor(params, spectral, ["conv_img"], p[-1], arr, is_conv=True)
+        elif p[0] == "downblocks":
+            block = f"block{int(p[1]) + 1}"
+            sub = p[2]
+            if sub == "conv_r":
+                leaf = {"0": "conv_r1", "2": "conv_r2"}[p[3]]
+                _convert_tensor(params, spectral, [block, leaf], p[-1], arr,
+                                is_conv=True)
+            elif sub == "conv_s":
+                _convert_tensor(params, spectral, [block, "conv_s"], p[-1], arr,
+                                is_conv=True)
+            elif sub == "gamma":
+                _put(params, [block, "gamma"], arr.reshape(1))
+            else:
+                raise KeyError(f"Unexpected NetD tensor {name}")
+        elif p[0] == "COND_DNET":
+            sub = p[1]
+            if sub == "proj_match":
+                _convert_tensor(params, spectral, ["cond_dnet", "proj_match"],
+                                p[-1], arr, is_conv=False)
+            elif sub == "joint_conv":
+                leaf = {"0": "joint_conv1", "2": "joint_conv2"}[p[2]]
+                _convert_tensor(params, spectral, ["cond_dnet", leaf], p[-1], arr,
+                                is_conv=True)
+            else:
+                raise KeyError(f"Unexpected NetD tensor {name}")
+        else:
+            raise KeyError(f"Unexpected NetD tensor {name}")
+    return params, spectral
+
+
+def merge_partial(tree: dict, updates: dict, path: str = "") -> tuple[dict, list[str]]:
+    """Non-strict merge (torch ``load_state_dict(strict=False)`` semantics,
+    reference D warm start ``train_gan.py:494-495``): leaves present in both
+    and shape-compatible are replaced; everything else keeps the initialized
+    value.  Returns (merged, list of skipped update paths)."""
+    skipped: list[str] = []
+
+    def walk(node, upd, prefix):
+        out = dict(node)
+        for k, v in upd.items():
+            child = f"{prefix}/{k}" if prefix else k
+            if k not in node:
+                skipped.append(child)
+            elif isinstance(v, Mapping) and isinstance(node[k], Mapping):
+                out[k] = walk(node[k], v, child)
+            elif getattr(node[k], "shape", None) == getattr(v, "shape", None):
+                out[k] = np.asarray(v, dtype=np.float32)
+            else:
+                skipped.append(child)
+        return out
+
+    return walk(tree, updates, path), skipped
