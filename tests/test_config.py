@@ -14,8 +14,20 @@ CFG_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "xmc_gan_tpu", "cfg
 ALL_CFGS = sorted(glob.glob(os.path.join(CFG_DIR, "*.yml")))
 
 
-def test_eleven_configs_present():
-    assert len(ALL_CFGS) == 11, [os.path.basename(p) for p in ALL_CFGS]
+REFERENCE_CFGS = {
+    "concept_in_df_gan.yml", "concept_in_df_gan_damsm_nomagp.yml",
+    "concept_in_df_gan_sbert.yml", "concept_in_df_gan_sbert_n2_damsm.yml",
+    "concept_out_df_gan.yml", "concept_out_df_gan_sbert_damsm_nomagp.yml",
+    "df_gan_damsm.yml", "df_gan_damsm_nomagp.yml", "df_gan_sbert.yml",
+    "df_gan_sbert_damsm_nomagp.yml", "df_gan_sbert_seperate.yml",
+}
+
+
+def test_reference_configs_present():
+    """All 11 reference YAML schemas ship (SURVEY.md §2 row 15); extensions
+    (LN-COCO / LN-OpenImages) are additive."""
+    names = {os.path.basename(p) for p in ALL_CFGS}
+    assert REFERENCE_CFGS <= names, REFERENCE_CFGS - names
 
 
 @pytest.mark.parametrize("path", ALL_CFGS, ids=os.path.basename)

@@ -1,0 +1,80 @@
+"""Cross-family integration: one full train step for each model family /
+projection-head mode the 11 reference configs exercise, at tiny scale.
+
+Covers the combinations the per-family unit tests don't: CONCEPT_NETD as the
+discriminator (concept_out_df_gan.yml), DISC.SEPERATE head
+(df_gan_sbert_seperate.yml), SENT_MATCH head, N_CRITIC=2 skip/step alternation
+(concept_in_df_gan_sbert_n2_damsm.yml)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from xmc_gan_tpu.config import cfg_from_file
+from xmc_gan_tpu.train import create_train_state, make_train_step
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "xmc_gan_tpu", "cfg")
+
+
+def _tiny(cfg):
+    """Shrink a loaded reference config to test scale without touching the
+    switches under test."""
+    return cfg.replace(
+        TRAIN=dataclasses.replace(
+            cfg.TRAIN, NCH=8, NEF=32, NOISE_DIM=16, BATCH_SIZE=4, HE_INIT=True
+        ),
+        IMG=cfg.IMG.__class__(SIZE=64),
+        TEXT=dataclasses.replace(cfg.TEXT, EMBEDDING_DIM=48, MAX_LENGTH=6),
+    )
+
+
+def _batch(cfg, bs=4):
+    rng = np.random.RandomState(0)
+    return {
+        "imgs": jnp.asarray(rng.uniform(-1, 1, (bs, 64, 64, 3)), jnp.float32),
+        "sent_embs": jnp.asarray(rng.randn(bs, 48), jnp.float32),
+        "words_embs": jnp.asarray(rng.randn(bs, 6, 48), jnp.float32),
+        "mask": jnp.asarray(rng.rand(bs, 6) > 0.7),
+    }
+
+
+@pytest.mark.parametrize("name", [
+    "df_gan_sbert_seperate.yml",        # DISC.SEPERATE projection head
+    "concept_in_df_gan_damsm_nomagp.yml",  # concept-in G, IMG_MATCH, no MAGP
+    "concept_out_df_gan.yml",           # concept-out G + CONCEPT_NETD + SENT_MATCH
+])
+def test_one_step_per_family(name):
+    cfg = _tiny(cfg_from_file(os.path.join(CFG_DIR, name)))
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    state, metrics = step(state, _batch(cfg), jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (name, k, v)
+    assert int(state.step) == 1
+
+
+def test_n_critic_2_alternates_g_updates():
+    cfg = _tiny(cfg_from_file(os.path.join(CFG_DIR, "concept_in_df_gan_sbert_n2_damsm.yml")))
+    assert cfg.TRAIN.N_CRITIC == 2
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    batch = _batch(cfg)
+
+    def total_delta(a, b):
+        return sum(
+            float(np.abs(np.asarray(x) - np.asarray(y)).sum())
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    g0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.g_params)
+    state, m1 = step(state, batch, jax.random.PRNGKey(1))
+    assert float(m1["g_updated"]) == 0.0  # step 1: D only
+    assert total_delta(state.g_params, g0) == 0.0
+
+    state, m2 = step(state, batch, jax.random.PRNGKey(2))
+    assert float(m2["g_updated"]) == 1.0  # step 2: D + G
+    assert total_delta(state.g_params, g0) > 0.0

@@ -46,6 +46,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     t.add_argument("--eval_num_samples", type=int, default=6000)
     t.add_argument("--dtype", default=None, choices=[None, "bf16", "fp32"],
                    help="activation dtype (default: bf16 on TPU, fp32 on CPU)")
+    t.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of steps 10-20 here")
+    t.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on any NaN)")
     t.add_argument("--dp", type=int, default=None, help="data-parallel mesh size")
     t.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
     t.add_argument("--distributed", action="store_true",
@@ -67,6 +71,20 @@ def parse_args(argv=None) -> argparse.Namespace:
     e.add_argument("--bs", type=int, default=-1)
     e.add_argument("--imsize", type=int, default=-1)
 
+    s = sub.add_parser("sample", help="generate images from captions with a "
+                                      "trained checkpoint")
+    s.add_argument("--cfg", required=True)
+    s.add_argument("--seed", type=int, default=100)
+    s.add_argument("--resume_epoch", type=int, default=0,
+                   help="checkpoint epoch (default: latest)")
+    s.add_argument("--data_dir", required=True,
+                   help="dataset root (provides the vocabulary / SBERT cache)")
+    s.add_argument("--output_root", default="output")
+    s.add_argument("--caption", action="append", required=True,
+                   help="caption text; repeat for a grid of captions")
+    s.add_argument("--n_per_caption", type=int, default=4)
+    s.add_argument("--out", default="samples.png")
+
     return p.parse_args(argv)
 
 
@@ -76,6 +94,8 @@ def run_train(args: argparse.Namespace) -> dict:
 
     if args.distributed:
         jax.distributed.initialize()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from xmc_gan_tpu.config import cfg_from_file
     from xmc_gan_tpu.trainer import Trainer
@@ -110,6 +130,7 @@ def run_train(args: argparse.Namespace) -> dict:
         eval_fid=not args.no_eval_fid,
         eval_num_samples=args.eval_num_samples,
         dtype={"bf16": jnp.bfloat16, "fp32": jnp.float32, None: None}[args.dtype],
+        profile_dir=args.profile_dir,
     )
     trainer.logger.info("Using config:")
     trainer.logger.info(str(cfg.to_dict()))
@@ -152,6 +173,58 @@ def run_eval(args: argparse.Namespace) -> float:
     return fid_value
 
 
+def run_sample(args: argparse.Namespace) -> str:
+    """Text -> image with a trained G.  WORD configs tokenize captions with the
+    dataset vocabulary (``w2i`` from ``captions.pickle``) through the frozen
+    DAMSM encoder; SENT configs need the HF RoBERTa weights locally (novel
+    captions cannot come from the offline cache)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xmc_gan_tpu.config import cfg_from_file
+    from xmc_gan_tpu.trainer import Trainer
+    from xmc_gan_tpu.utils.miscc import save_image_grid
+
+    cfg = cfg_from_file(args.cfg)
+    trainer = Trainer(
+        cfg, seed=args.seed, data_dir=args.data_dir,
+        output_root=args.output_root, log_type="none", eval_fid=False,
+    )
+    trainer.resume(args.resume_epoch or None)
+
+    n = args.n_per_caption
+    if cfg.TEXT.TYPE == "WORD":
+        w2i = trainer.train_set.w2i
+        caps = np.zeros((len(args.caption), cfg.TEXT.MAX_LENGTH), np.int64)
+        for i, sent in enumerate(args.caption):
+            toks = [w2i[w] for w in sent.lower().split() if w in w2i]
+            if not toks:
+                raise ValueError(f"No in-vocabulary words in caption: {sent!r}")
+            caps[i, : min(len(toks), cfg.TEXT.MAX_LENGTH)] = toks[: cfg.TEXT.MAX_LENGTH]
+        words, sent_embs, mask = trainer.encode(
+            {"caps": caps, "cap_lens": (caps != 0).sum(1)}
+        )
+    else:
+        from xmc_gan_tpu.data.text_encode import make_hf_sbert_encode
+        from xmc_gan_tpu.models.encoder import SBERTEncoder
+
+        tok_embs, attn = make_hf_sbert_encode(cfg)(list(args.caption))
+        words, sent_embs, mask = SBERTEncoder(cfg).apply(
+            {}, jnp.asarray(tok_embs), jnp.asarray(attn)
+        )
+
+    rep = lambda x: jnp.repeat(x, n, axis=0)
+    words, sent_embs, mask = rep(words), rep(sent_embs), rep(mask)
+    from xmc_gan_tpu.train import make_sample_fn
+
+    noise = jax.random.normal(
+        jax.random.PRNGKey(args.seed), (sent_embs.shape[0], cfg.TRAIN.NOISE_DIM)
+    )
+    fake = make_sample_fn(cfg)(trainer.state.g_params, noise, sent_embs, words, mask)
+    save_image_grid(np.asarray(fake), args.out, nrow=n)
+    return args.out
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
     if args.command == "train":
@@ -160,6 +233,9 @@ def main(argv=None) -> int:
         return 0
     if args.command == "eval":
         print({"FID": round(run_eval(args), 4)})
+        return 0
+    if args.command == "sample":
+        print(run_sample(args))
         return 0
     raise AssertionError(args.command)
 

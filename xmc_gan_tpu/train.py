@@ -110,8 +110,18 @@ def refresh_spectral(d_params: Params, d_spectral: Params) -> Params:
     def walk(spec_node: dict, param_node: dict) -> dict:
         if set(spec_node.keys()) >= {"u", "v"} and "kernel" in param_node:
             kernel = param_node["kernel"]
-            out_features = kernel.shape[-1]
-            w = jnp.moveaxis(kernel, -1, 0).reshape(out_features, -1).astype(jnp.float32)
+            u_dim = spec_node["u"].shape[0]
+            if kernel.ndim == 3 and u_dim == kernel.shape[0] * kernel.shape[-1]:
+                # GroupedDense [groups, d_in, f]: matricized as (groups*f, d_in)
+                # (PyTorch grouped-conv layout; see ops/grouped.py)
+                w = (
+                    kernel.transpose(1, 0, 2)
+                    .reshape(kernel.shape[1], u_dim)
+                    .T.astype(jnp.float32)
+                )
+            else:
+                out_features = kernel.shape[-1]
+                w = jnp.moveaxis(kernel, -1, 0).reshape(out_features, -1).astype(jnp.float32)
             u = spec_node["u"]
             v = w.T @ u
             v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)

@@ -130,6 +130,8 @@ class Trainer:
         eval_num_samples: int = 6000,
         eval_fid: bool = True,
         dtype=None,
+        profile_dir: str | None = None,
+        profile_steps: tuple[int, int] = (10, 20),
     ):
         self.cfg = cfg
         self.seed = seed
@@ -137,6 +139,8 @@ class Trainer:
         self.save_after = save_after
         self.eval_num_samples = eval_num_samples
         self.eval_fid = eval_fid
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
         self.rank = jax.process_index()
 
         out = f"{output_root}/{cfg.DATASET_NAME}{cfg.IMG.SIZE}_{cfg.CONFIG_NAME}_{seed}"
@@ -282,6 +286,23 @@ class Trainer:
                     f.write(f"{s} \n")
             save_image_grid(np.asarray(batch["imgs"]), f"{self.img_dir}/imgs.png")
 
+    def _save_step_grid(self, batch: dict, step: int) -> None:
+        from xmc_gan_tpu.train import make_sample_fn
+
+        if not hasattr(self, "_sample_fn"):
+            self._sample_fn = make_sample_fn(self.cfg, dtype=self.dtype)
+        n = batch["sent_embs"].shape[0]
+        noise = jax.random.normal(
+            jax.random.PRNGKey(self.seed + step), (n, self.cfg.TRAIN.NOISE_DIM)
+        )
+        fake = self._sample_fn(
+            self.state.g_params, noise, batch["sent_embs"],
+            batch.get("words_embs"), batch.get("mask"),
+        )
+        save_image_grid(
+            np.asarray(fake), f"{self.img_dir}/fake_samples_{step:03d}.png"
+        )
+
     def sample_fixed_grid(self, epoch: int) -> None:
         if self._fixed is None:
             self._setup_fixed_batch()
@@ -343,6 +364,15 @@ class Trainer:
             self.train_loader.set_epoch(epoch)
             steps_per_epoch = len(self.train_loader)
             for step, raw in enumerate(self.train_loader):
+                # jax.profiler trace window over warmed-up steps
+                # (SURVEY.md §5 "Tracing / profiling"); host-0 only.
+                if self.profile_dir and self.rank == 0:
+                    if self.global_step == self.profile_steps[0]:
+                        jax.profiler.start_trace(self.profile_dir)
+                    elif self.global_step == self.profile_steps[1]:
+                        jax.block_until_ready(self.state.step)
+                        jax.profiler.stop_trace()
+                        self.logger.info(f"Profiler trace written to {self.profile_dir}")
                 batch = self._prep_batch(raw)
                 rng, step_rng = jax.random.split(rng)
                 self.state, metrics = self.step_fn(self.state, batch, step_rng)
@@ -359,6 +389,12 @@ class Trainer:
                         f"errD_real: {last_metrics['errD_real']:.3f} "
                         f"errD_fake: {last_metrics['errD_fake']:.3f} "
                     )
+                if (step + 1) % cfg.TRAIN.LOG_INTERVAL == 0 and self.rank == 0:
+                    # in-epoch sample grid from the current batch's text
+                    # (reference fake_samples_{step:03d}.png,
+                    # train_gan.py:297-298; regenerated rather than pulled out
+                    # of the jitted step so the hot path returns no images)
+                    self._save_step_grid(batch, step + 1)
                 if max_steps and steps_done >= max_steps:
                     break
 
