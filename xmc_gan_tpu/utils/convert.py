@@ -196,7 +196,26 @@ def df_gan_discriminator_params(state_dict: Mapping[str, Any]) -> tuple[dict, di
                 raise KeyError(f"Unexpected NetD tensor {name}")
         else:
             raise KeyError(f"Unexpected NetD tensor {name}")
+    _permute_conv_v(params, spectral)
     return params, spectral
+
+
+def _permute_conv_v(params: dict, spectral: dict) -> None:
+    """torch matricizes conv weights as (O, I*kH*kW); our spectral norm
+    flattens the HWIO kernel as (O, kH*kW*I).  ``u`` (length O) transfers
+    verbatim; ``v`` must be re-ordered from (I, kH, kW) to (kH, kW, I)."""
+    for key, spec_node in spectral.items():
+        if not isinstance(spec_node, Mapping):
+            continue
+        if "v" in spec_node and "kernel" in params.get(key, {}):
+            kernel = params[key]["kernel"]  # HWIO
+            if kernel.ndim == 4:
+                kh, kw, i, _ = kernel.shape
+                spec_node["v"] = np.ascontiguousarray(
+                    spec_node["v"].reshape(i, kh, kw).transpose(1, 2, 0).reshape(-1)
+                )
+        else:
+            _permute_conv_v(params.get(key, {}), spec_node)
 
 
 def merge_partial(tree: dict, updates: dict, path: str = "") -> tuple[dict, list[str]]:
