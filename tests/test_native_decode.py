@@ -1,0 +1,85 @@
+"""Native C++ decode path: builds, matches the PIL reference pipeline within
+resampling tolerance, honors crop/flip parameters, and survives bad input."""
+
+import io
+
+import numpy as np
+import pytest
+
+from xmc_gan_tpu.data import native
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native decoder unavailable (no g++/libjpeg)"
+)
+
+
+def _jpeg_bytes(arr: np.ndarray, quality: int = 95) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_test_mode_matches_pil():
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 255, (90, 70, 3), np.uint8)
+    data = _jpeg_bytes(arr)
+
+    got = native.decode_test(data, 64)
+    assert got is not None and got.shape == (64, 64, 3)
+
+    with Image.open(io.BytesIO(data)) as img:
+        want = np.asarray(
+            img.convert("RGB").resize((64, 64), Image.BILINEAR), np.float32
+        ) / 255.0 * 2 - 1
+    # same decode (both libjpeg); resize filters agree to ~1 LSB of uint8
+    assert np.abs(got - want).max() < 5 / 127.5
+
+
+def test_train_mode_crop_flip_semantics():
+    rng = np.random.RandomState(1)
+    arr = rng.randint(0, 255, (100, 80, 3), np.uint8)
+    data = _jpeg_bytes(arr, quality=100)
+
+    a = native.decode_train(data, 64, 76, u_x=0.0, u_y=0.0, flip=False)
+    b = native.decode_train(data, 64, 76, u_x=0.0, u_y=0.0, flip=True)
+    assert a is not None and b is not None
+    np.testing.assert_allclose(a, b[:, ::-1, :], atol=1e-6)  # flip = mirror
+
+    c = native.decode_train(data, 64, 76, u_x=0.999, u_y=0.999, flip=False)
+    assert np.abs(a - c).max() > 0  # different crop offset -> different crop
+
+    # determinism
+    a2 = native.decode_train(data, 64, 76, u_x=0.0, u_y=0.0, flip=False)
+    np.testing.assert_array_equal(a, a2)
+    assert -1.0 <= a.min() and a.max() <= 1.0
+
+
+def test_corrupt_jpeg_returns_none():
+    assert native.decode_test(b"not a jpeg at all", 64) is None
+    assert native.decode_train(b"\xff\xd8\xff\xe0garbage", 64, 76, 0.5, 0.5, 0) is None
+
+
+def test_pipeline_uses_native_and_stays_deterministic(tmp_path):
+    from PIL import Image
+
+    from xmc_gan_tpu.data.pipeline import load_image
+
+    rng = np.random.RandomState(2)
+    arr = rng.randint(0, 255, (120, 90, 3), np.uint8)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(arr).save(p, quality=95)
+
+    g1 = np.random.default_rng(7)
+    g2 = np.random.default_rng(7)
+    a = load_image(str(p), 64, "train", g1)
+    b = load_image(str(p), 64, "train", g2)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (64, 64, 3) and a.dtype == np.float32
+
+    t = load_image(str(p), 64, "test")
+    assert t.shape == (64, 64, 3)

@@ -113,6 +113,28 @@ def _to_unit_range(img) -> np.ndarray:
 def load_image(
     path: str, size: int, mode: str, rng: np.random.Generator | None = None
 ) -> np.ndarray:
+    """Decode + augment one image.  Uses the native C++/libjpeg path when the
+    library builds (``data/native.py``: GIL-free threaded decode, triangle-
+    filter resize); falls back to PIL with identical augmentation semantics.
+    The crop/flip draws come from the same stateless per-example RNG either
+    way."""
+    from xmc_gan_tpu.data import native
+
+    if path.lower().endswith((".jpg", ".jpeg")) and native.available():
+        with open(path, "rb") as f:
+            data = f.read()
+        if mode == "train":
+            assert rng is not None
+            out = native.decode_train(
+                data, size, int(size * 76 / 64),
+                u_x=rng.random(), u_y=rng.random(), flip=rng.random() < 0.5,
+            )
+        else:
+            out = native.decode_test(data, size)
+        if out is not None:
+            return out
+        # corrupt/odd file: fall through to PIL
+
     from PIL import Image
 
     with Image.open(path) as img:
