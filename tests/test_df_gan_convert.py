@@ -139,6 +139,54 @@ def test_discriminator_checkpoint_converts_with_spectral_state():
     )
 
 
+def test_export_roundtrip_generator():
+    """Flax -> torch state_dict -> Flax is the identity (PyTorch-compat
+    export, SURVEY.md §2 row 17)."""
+    from xmc_gan_tpu.utils.convert import df_gan_generator_state_dict
+
+    cfg = _cfg()
+    model = df_gan.NetG(cfg)
+    init = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 8)), jnp.zeros((1, 16)))
+    sd = df_gan_generator_state_dict(init["params"])
+    back = df_gan_generator_params(sd)
+    merged, skipped = merge_partial(init["params"], back)
+    assert not skipped, skipped
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(init["params"]),
+        jax.tree_util.tree_leaves_with_path(merged),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+
+def test_export_roundtrip_discriminator_with_spectral():
+    from xmc_gan_tpu.utils.convert import df_gan_discriminator_state_dict
+
+    cfg = _cfg()
+    model = df_gan.NetD(cfg)
+    init = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)),
+                      jnp.zeros((1, 32)), method="d_all")
+    sd = df_gan_discriminator_state_dict(init["params"], init["spectral"])
+    # exported names follow the torch spectral_norm convention
+    assert "conv_img.weight_orig" in sd and "conv_img.weight_u" in sd
+    back_p, back_s = df_gan_discriminator_params(
+        {k: v for k, v in sd.items() if not k.startswith("region_proj")}
+    )
+    merged, skipped = merge_partial(init["params"], back_p)
+    assert not skipped, skipped
+    spec_merged, s_skipped = merge_partial(init["spectral"], back_s)
+    assert not s_skipped, s_skipped
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(init["params"]),
+        jax.tree_util.tree_leaves_with_path(merged),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(init["spectral"]),
+        jax.tree_util.tree_leaves_with_path(spec_merged),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+
 def test_merge_partial_strict_false_semantics():
     base = {"a": {"kernel": np.zeros((2, 2))}, "b": {"bias": np.zeros(3)}}
     upd = {"a": {"kernel": np.ones((2, 2))},

@@ -218,6 +218,119 @@ def _permute_conv_v(params: dict, spectral: dict) -> None:
             _permute_conv_v(params.get(key, {}), spec_node)
 
 
+# --------------------------------------------------------------------------- #
+# Inverse direction: Flax trees -> reference-named torch state_dicts, so
+# TPU-trained checkpoints flow back into the PyTorch ecosystem
+# (SURVEY.md §2 row 17 "PyTorch-compat export").
+# --------------------------------------------------------------------------- #
+
+
+def _kernel_to_torch(kernel: np.ndarray) -> np.ndarray:
+    arr = np.asarray(kernel, np.float32)
+    if arr.ndim == 4:  # HWIO -> OIHW
+        return np.ascontiguousarray(np.transpose(arr, (3, 2, 0, 1)))
+    return np.ascontiguousarray(arr.T)  # Dense (in, out) -> (out, in)
+
+
+def df_gan_generator_state_dict(params: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Our ``NetG`` params -> reference ``NetG`` state_dict names."""
+    sd: dict[str, np.ndarray] = {}
+
+    def put(name, node):
+        sd[f"{name}.weight"] = _kernel_to_torch(node["kernel"])
+        if "bias" in node:
+            sd[f"{name}.bias"] = np.asarray(node["bias"], np.float32)
+
+    for key, node in params.items():
+        if key == "proj_noise":
+            put("proj_noise", node)
+        elif key == "proj_sent_dense":
+            put("proj_sent", node)
+        elif key == "conv_out":
+            put("conv_out.1", node)
+        elif key.startswith("block"):
+            i = int(key[len("block"):])
+            for sub, snode in node.items():
+                if sub in ("c1", "c2", "c_sc"):
+                    put(f"upblocks.{i}.{sub}", snode)
+                elif sub == "gamma":
+                    sd[f"upblocks.{i}.gamma"] = np.asarray(snode, np.float32)
+                elif sub.startswith("affine"):
+                    for leaf, lnode in snode.items():
+                        fc, lin = leaf.rsplit("_", 1)  # fc_gamma_1 -> fc_gamma, 1
+                        put(f"upblocks.{i}.{sub}.{fc}.linear{lin}", lnode)
+                else:
+                    raise KeyError(f"Unexpected NetG param {key}/{sub}")
+        else:
+            raise KeyError(f"Unexpected NetG param {key}")
+    return sd
+
+
+def df_gan_discriminator_state_dict(
+    params: Mapping[str, Any], spectral: Mapping[str, Any] | None = None
+) -> dict[str, np.ndarray]:
+    """Our ``NetD`` params (+ spectral state) -> reference ``NetD`` state_dict
+    (spectral-normalized tensors get ``weight_orig``/``weight_u``/``weight_v``;
+    conv ``v`` vectors permute back to torch's (I, kH, kW) flattening)."""
+    spectral = spectral or {}
+    sd: dict[str, np.ndarray] = {}
+
+    def put(name, node, spec_node):
+        kernel = np.asarray(node["kernel"], np.float32)
+        has_spec = isinstance(spec_node, Mapping) and "u" in spec_node
+        w_name = f"{name}.weight_orig" if has_spec else f"{name}.weight"
+        sd[w_name] = _kernel_to_torch(kernel)
+        if "bias" in node:
+            sd[f"{name}.bias"] = np.asarray(node["bias"], np.float32)
+        if has_spec:
+            sd[f"{name}.weight_u"] = np.asarray(spec_node["u"], np.float32)
+            v = np.asarray(spec_node["v"], np.float32)
+            if kernel.ndim == 4:
+                kh, kw, i, _ = kernel.shape
+                v = np.ascontiguousarray(
+                    v.reshape(kh, kw, i).transpose(2, 0, 1).reshape(-1)
+                )
+            sd[f"{name}.weight_v"] = v
+
+    for key, node in params.items():
+        spec = spectral.get(key, {})
+        if key == "conv_img":
+            put("conv_img", node, spec)
+        elif key.startswith("block"):
+            i = int(key[len("block"):]) - 1
+            for sub, snode in node.items():
+                sspec = spec.get(sub, {}) if isinstance(spec, Mapping) else {}
+                if sub == "conv_r1":
+                    put(f"downblocks.{i}.conv_r.0", snode, sspec)
+                elif sub == "conv_r2":
+                    put(f"downblocks.{i}.conv_r.2", snode, sspec)
+                elif sub == "conv_s":
+                    put(f"downblocks.{i}.conv_s", snode, sspec)
+                elif sub == "gamma":
+                    sd[f"downblocks.{i}.gamma"] = np.asarray(snode, np.float32)
+                else:
+                    raise KeyError(f"Unexpected NetD param {key}/{sub}")
+        elif key == "cond_dnet":
+            for sub, snode in node.items():
+                sspec = spec.get(sub, {}) if isinstance(spec, Mapping) else {}
+                if sub == "proj_match":
+                    put("COND_DNET.proj_match", snode, sspec)
+                elif sub == "joint_conv1":
+                    put("COND_DNET.joint_conv.0", snode, sspec)
+                elif sub == "joint_conv2":
+                    put("COND_DNET.joint_conv.2", snode, sspec)
+                elif sub == "region_proj":
+                    # word-loss head: framework extension, no reference name
+                    put("region_proj", snode, sspec)
+                else:
+                    raise KeyError(f"Unexpected NetD param {key}/{sub}")
+        elif key == "region_proj":
+            put("region_proj", node, spec)
+        else:
+            raise KeyError(f"Unexpected NetD param {key}")
+    return sd
+
+
 def merge_partial(tree: dict, updates: dict, path: str = "") -> tuple[dict, list[str]]:
     """Non-strict merge (torch ``load_state_dict(strict=False)`` semantics,
     reference D warm start ``train_gan.py:494-495``): leaves present in both
