@@ -259,9 +259,19 @@ class Trainer:
             "mask": mask,
         }
         if self.mesh is not None:
-            from xmc_gan_tpu.parallel import shard_batch
+            if jax.process_count() > 1:
+                # each process holds its local slice of the global batch;
+                # assemble the logically-global sharded arrays across hosts
+                from jax.experimental import multihost_utils
+                from jax.sharding import PartitionSpec as P
 
-            out = shard_batch(self.mesh, out)
+                out = multihost_utils.host_local_array_to_global_array(
+                    jax.tree.map(np.asarray, out), self.mesh, P("data")
+                )
+            else:
+                from xmc_gan_tpu.parallel import shard_batch
+
+                out = shard_batch(self.mesh, out)
         return out
 
     def _setup_fixed_batch(self) -> None:
