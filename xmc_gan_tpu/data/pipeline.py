@@ -39,8 +39,7 @@ import hashlib
 import os
 import pickle
 import queue
-import threading
-from typing import Any, Callable, Iterator, Sequence
+from typing import Any, Iterator, Sequence
 
 import numpy as np
 

@@ -15,7 +15,6 @@ Everything is inference-only (BatchNorm running stats), jit-friendly, NHWC.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import flax.linen as nn

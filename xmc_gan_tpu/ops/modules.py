@@ -19,7 +19,7 @@ TPU-native equivalents of the reference's ops layer
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import flax.linen as nn
 import jax

@@ -29,7 +29,6 @@ gradient ``psum``s — no hand-written collectives in the step.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import flax

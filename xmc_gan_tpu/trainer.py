@@ -20,7 +20,6 @@ loop); all per-step metrics stay on device until a log boundary.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Callable
 
@@ -32,7 +31,7 @@ from xmc_gan_tpu.config import Config
 from xmc_gan_tpu.data import DataLoader, SyntheticDataset
 from xmc_gan_tpu.models.encoder import RNNEncoder, SBERTEncoder
 from xmc_gan_tpu.registry import get_dataset
-from xmc_gan_tpu.train import TrainState, create_train_state, make_train_step
+from xmc_gan_tpu.train import create_train_state, make_train_step
 from xmc_gan_tpu.utils.checkpoint import CheckpointManager
 from xmc_gan_tpu.utils.logger import MetricWriter, Throughput, setup_logger
 from xmc_gan_tpu.utils.miscc import count_params, save_image_grid
