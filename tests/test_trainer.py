@@ -74,6 +74,26 @@ def test_trainer_resume_bitwise(run_dir):
     assert tr.state_epoch == 2 and int(tr.state.step) == 4
 
 
+def test_auto_checkpoint_every_n_steps(run_dir):
+    cfg = tiny_cfg()
+    tr = Trainer(
+        cfg, seed=9, output_root=run_dir + "/auto", log_type="none",
+        synthetic=True, synthetic_len=16, save_after=50, num_threads=1,
+        save_every_steps=2, eval_fid=False,
+    )
+    tr.fit(max_epochs=2)  # 4 steps -> auto checkpoints at steps 2 and 4
+    assert tr.auto_ckpt.all_epochs() == [2, 4]
+    tr2 = Trainer(
+        cfg, seed=9, output_root=run_dir + "/auto", log_type="none",
+        synthetic=True, synthetic_len=16, save_after=50, num_threads=1,
+        save_every_steps=2, eval_fid=False,
+    )
+    step = tr2.resume_latest_auto()
+    assert step == 4 and int(tr2.state.step) == 4
+    for a, b in zip(jax.tree.leaves(tr.state), jax.tree.leaves(tr2.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_trainer_under_mesh(run_dir, eight_devices):
     from xmc_gan_tpu.parallel import make_mesh
 

@@ -48,6 +48,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="activation dtype (default: bf16 on TPU, fp32 on CPU)")
     t.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of steps 10-20 here")
+    t.add_argument("--save_every_steps", type=int, default=None,
+                   help="step-indexed auto-checkpoints for crash recovery")
+    t.add_argument("--resume_auto", action="store_true",
+                   help="resume from the newest auto checkpoint")
     t.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on any NaN)")
     t.add_argument("--dp", type=int, default=None, help="data-parallel mesh size")
@@ -131,11 +135,14 @@ def run_train(args: argparse.Namespace) -> dict:
         eval_num_samples=args.eval_num_samples,
         dtype={"bf16": jnp.bfloat16, "fp32": jnp.float32, None: None}[args.dtype],
         profile_dir=args.profile_dir,
+        save_every_steps=args.save_every_steps,
     )
     trainer.logger.info("Using config:")
     trainer.logger.info(str(cfg.to_dict()))
     trainer.logger.info(f"seed now is : {args.seed}")
-    if args.resume_epoch:
+    if args.resume_auto:
+        trainer.resume_latest_auto()
+    elif args.resume_epoch:
         trainer.resume(args.resume_epoch)
     return trainer.fit(max_epochs=args.max_epochs, max_steps=args.max_steps)
 

@@ -131,6 +131,7 @@ class Trainer:
         dtype=None,
         profile_dir: str | None = None,
         profile_steps: tuple[int, int] = (10, 20),
+        save_every_steps: int | None = None,
     ):
         self.cfg = cfg
         self.seed = seed
@@ -235,6 +236,15 @@ class Trainer:
             self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
 
         self.ckpt = CheckpointManager(self.model_dir)
+        # step-indexed auto-checkpoints for fault tolerance (SURVEY.md §5
+        # "Orbax auto-checkpointing every N steps"): independent of the
+        # reference's per-epoch artifacts, bounded retention.
+        self.save_every_steps = save_every_steps
+        self.auto_ckpt = (
+            CheckpointManager(f"{self.model_dir}/auto", max_to_keep=2)
+            if save_every_steps
+            else None
+        )
         self.state_epoch = 0
         self.global_step = 0
         self._fixed = None
@@ -248,6 +258,17 @@ class Trainer:
         self.global_step = int(self.state.step)
         self.logger.info(f"Load models, epoch : {self.state_epoch}")
         return self.state_epoch
+
+    def resume_latest_auto(self) -> int:
+        """Restore the newest step-indexed auto-checkpoint (crash recovery).
+        Epoch accounting restarts from the surrounding epoch boundary; the
+        optimizer/step state is exact."""
+        assert self.auto_ckpt is not None, "enable save_every_steps first"
+        self.state, step = self.auto_ckpt.restore(self.state)
+        self.global_step = int(self.state.step)
+        self.state_epoch = self.global_step // max(len(self.train_loader), 1)
+        self.logger.info(f"Load auto checkpoint, step : {step}")
+        return step
 
     def _prep_batch(self, batch: dict) -> dict:
         words, sent, mask = self.encode(batch)
@@ -388,6 +409,8 @@ class Trainer:
                 meter.step()
                 self.global_step += 1
                 steps_done += 1
+                if self.auto_ckpt and self.global_step % self.save_every_steps == 0:
+                    self.auto_ckpt.save(self.global_step, self.state)
 
                 if (step + 1) % cfg.TRAIN.N_CRITIC == 0:
                     last_metrics = {k: float(v) for k, v in metrics.items()}
@@ -427,4 +450,6 @@ class Trainer:
                 break
 
         self.ckpt.wait()
+        if self.auto_ckpt:
+            self.auto_ckpt.wait()
         return last_metrics
