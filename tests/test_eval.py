@@ -22,6 +22,10 @@ def test_inception_matches_torchvision():
     import torch
 
     torchvision = pytest.importorskip("torchvision")
+    if not hasattr(torchvision, "models"):
+        # the reference-parity tests install a minimal torchvision stub in
+        # sys.modules; a real torchvision is still absent from this image
+        pytest.skip("only the torchvision stub is present")
 
     torch.manual_seed(0)
     tmodel = torchvision.models.inception_v3(

@@ -148,10 +148,10 @@ class WordCondConceptSampler(nn.Module):
             words_g.reshape(-1, C, self.text_dim)
         ).reshape(b, T, C, p_out)
         if self.normalize:
-            query = nn.GroupNorm(num_groups=C, name="gn1")(
+            query = nn.GroupNorm(num_groups=C, epsilon=1e-5, name="gn1")(
                 query.reshape(b, hw, 1, C * p_out)
             ).reshape(b, hw, C, p_out)
-            key = nn.GroupNorm(num_groups=C, name="gn2")(
+            key = nn.GroupNorm(num_groups=C, epsilon=1e-5, name="gn2")(
                 key.reshape(b, T, 1, C * p_out)
             ).reshape(b, T, C, p_out)
 
@@ -212,7 +212,7 @@ class InConceptBlock(nn.Module):
         h = SNConv(gw, 3, padding=1, use_bias=False, feature_group_count=C,
                    kernel_init=k3, name="trans_gconv")(h)
         if self.normalize:
-            h = nn.GroupNorm(num_groups=C, name="gn")(h)
+            h = nn.GroupNorm(num_groups=C, epsilon=1e-5, name="gn")(h)
         out = nn.relu(h)
 
         gc = jnp.broadcast_to(global_cond[:, None, :], (b, C, self.gc_dim))
@@ -269,7 +269,7 @@ class OutConceptBlock(nn.Module):
         h = SNConv(gw, 3, padding=1, use_bias=False, feature_group_count=C,
                    kernel_init=k3, name="trans_gconv")(h)
         if self.normalize:
-            h = nn.GroupNorm(num_groups=C, name="gn")(h)
+            h = nn.GroupNorm(num_groups=C, epsilon=1e-5, name="gn")(h)
         out = nn.relu(h)
 
         gc = jnp.broadcast_to(global_cond[:, None, :], (b, C, self.gc_dim))

@@ -107,11 +107,11 @@ class ConceptSampler(nn.Module):
             xg.reshape(-1, C, p)
         ).reshape(xg.shape[0], -1, C, p_out)  # [B, HW, C, p']
         if self.normalize:
-            query = nn.GroupNorm(num_groups=C, name="gn1")(
+            query = nn.GroupNorm(num_groups=C, epsilon=1e-5, name="gn1")(
                 query.reshape(query.shape[0], 1, 1, C * p_out)
             ).reshape(query.shape[0], C, p_out)
             key_flat = key.reshape(key.shape[0], key.shape[1], 1, C * p_out)
-            key = nn.GroupNorm(num_groups=C, name="gn2")(key_flat).reshape(key.shape)
+            key = nn.GroupNorm(num_groups=C, epsilon=1e-5, name="gn2")(key_flat).reshape(key.shape)
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(self.state_dim, jnp.float32))
         attn = jnp.einsum("bcq,bncq->bcn", query, key) * scale  # [B, C, HW]
@@ -150,10 +150,10 @@ class CondConceptSampler(nn.Module):
             xg.reshape(-1, C, p)
         ).reshape(b, hw, C, p_out)
         if self.normalize:
-            query = nn.GroupNorm(num_groups=C, name="gn1")(
+            query = nn.GroupNorm(num_groups=C, epsilon=1e-5, name="gn1")(
                 query.reshape(b, 1, 1, C * p_out)
             ).reshape(b, C, p_out)
-            key = nn.GroupNorm(num_groups=C, name="gn2")(
+            key = nn.GroupNorm(num_groups=C, epsilon=1e-5, name="gn2")(
                 key.reshape(b, hw, 1, C * p_out)
             ).reshape(b, hw, C, p_out)
 
@@ -213,7 +213,7 @@ class InConceptBlock(nn.Module):
         h = SNConv(gw, 3, padding=1, use_bias=False, feature_group_count=C,
                    kernel_init=k3, name="trans_gconv")(h)
         if self.normalize:
-            h = nn.GroupNorm(num_groups=C, name="gn")(h)
+            h = nn.GroupNorm(num_groups=C, epsilon=1e-5, name="gn")(h)
         img_embs = leaky_relu(h)
 
         gc = jnp.broadcast_to(sent_embs[:, None, :], (b, C, self.cond_dim))
@@ -263,7 +263,7 @@ class OutConceptBlock(nn.Module):
         h = SNConv(gw, 3, padding=1, use_bias=False, feature_group_count=C,
                    kernel_init=k3, name="trans_gconv")(h)
         if self.normalize:
-            h = nn.GroupNorm(num_groups=C, name="gn")(h)
+            h = nn.GroupNorm(num_groups=C, epsilon=1e-5, name="gn")(h)
         img_embs = leaky_relu(h)
 
         gc = jnp.broadcast_to(sent_embs[:, None, :], (b, C, self.cond_dim))
@@ -427,7 +427,7 @@ class ConceptResD(nn.Module):
         h = SNConv(gw, 3, padding=1, use_bias=False, feature_group_count=C,
                    spec_norm=self.spec_norm, kernel_init=k3, name="trans_gconv")(h)
         if self.normalize:
-            h = nn.GroupNorm(num_groups=C, name="gn")(h)
+            h = nn.GroupNorm(num_groups=C, epsilon=1e-5, name="gn")(h)
         img_embs = leaky_relu(h)
 
         ctx = ConceptSampler(cardinality=C, state_dim=self.state_dim,

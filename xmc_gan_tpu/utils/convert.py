@@ -218,6 +218,86 @@ def _permute_conv_v(params: dict, spectral: dict) -> None:
             _permute_conv_v(params.get(key, {}), spec_node)
 
 
+def _grouped_1x1_to_dense(weight: np.ndarray, groups: int) -> np.ndarray:
+    """torch grouped 1x1 conv ``[g*f, d_in, 1, 1]`` -> GroupedDense kernel
+    ``[g, d_in, f]`` (output channels are group-major in torch)."""
+    gf, d_in = weight.shape[0], weight.shape[1]
+    f = gf // groups
+    return np.ascontiguousarray(
+        weight.reshape(groups, f, d_in, 1, 1)[..., 0, 0].transpose(0, 2, 1)
+    )
+
+
+def df_concept_generator_params(
+    state_dict: Mapping[str, Any], groups: int = 16
+) -> dict:
+    """Reference ``df_concept_gan.InNetG``/``OutNetG`` state_dict -> our
+    ``InNetG``/``OutNetG`` params (``models/df_concept_gan.py``).
+
+    Grouped 1x1 convs become ``GroupedDense`` kernels; the two-layer
+    ``gamma/beta`` Sequentials map to the ``g1``/``g2`` GroupedDense pair;
+    everything else is layout conversion (reference ``df_concept_gan.py``
+    module names cited in the model docstrings)."""
+    params: dict = {}
+    for name, value in state_dict.items():
+        arr = np.asarray(value, dtype=np.float32)
+        p = name.split(".")
+        if p[0] == "proj_noise":
+            _convert_tensor(params, {}, ["proj_noise"], p[-1], arr, is_conv=False)
+        elif p[0] == "proj_sent":
+            _convert_tensor(params, {}, ["proj_sent_dense"], p[-1], arr, is_conv=False)
+        elif p[0] == "conv_out":
+            _convert_tensor(params, {}, ["conv_out"], p[-1], arr, is_conv=True)
+        elif p[0] == "upblocks":
+            block = f"block{p[1]}"
+            sub = p[2]
+            if sub in ("conv_out1", "conv_out2", "c_sc"):
+                _convert_tensor(params, {}, [block, sub], p[-1], arr, is_conv=True)
+            elif sub == "gamma":
+                _put(params, [block, "gamma"], arr.reshape(1))
+            elif sub in ("concept1", "concept2"):
+                inner = p[3]
+                base = [block, sub]
+                if inner in ("split_conv", "trans_gconv"):
+                    _convert_tensor(params, {}, base + [inner], p[-1], arr,
+                                    is_conv=True)
+                elif inner == "gn":
+                    leaf = {"weight": "scale", "bias": "bias"}[p[-1]]
+                    _put(params, base + ["gn", leaf], arr)
+                elif inner.startswith("concept_sampler"):
+                    proj = p[4]  # query/key/value_gconv or gn1/gn2
+                    if proj == "norm":
+                        continue  # rsqrt(state_dim) buffer; computed inline here
+                    if proj.endswith("_gconv"):
+                        _put(params, base + [inner, proj, "kernel"],
+                             _grouped_1x1_to_dense(arr, groups))
+                    else:  # gn1 / gn2
+                        leaf = {"weight": "scale", "bias": "bias"}[p[-1]]
+                        _put(params, base + [inner, proj, leaf], arr)
+                elif inner.startswith("concept_reasoner"):
+                    # proj_edge: Linear(p' -> C), shared across groups
+                    _convert_tensor(params, {}, base + [inner, "proj_edge"],
+                                    p[-1], arr, is_conv=False)
+                elif inner.startswith("sent_linear"):
+                    _convert_tensor(params, {}, base + [inner], p[-1], arr,
+                                    is_conv=False)
+                elif inner.endswith("_gconv"):  # gamma{k}_gconv / beta{k}_gconv
+                    # Sequential index is p[4]: '0' -> g1, '2' -> g2
+                    g_leaf = {"0": "g1", "2": "g2"}[p[4]]
+                    kern = _grouped_1x1_to_dense(arr, groups) if p[-1] == "weight" \
+                        else arr.reshape(groups, -1)
+                    _put(params, base + [inner, g_leaf,
+                                         "kernel" if p[-1] == "weight" else "bias"],
+                         kern)
+                else:
+                    raise KeyError(f"Unexpected concept tensor {name}")
+            else:
+                raise KeyError(f"Unexpected upblock tensor {name}")
+        else:
+            raise KeyError(f"Unexpected NetG tensor {name}")
+    return params
+
+
 # --------------------------------------------------------------------------- #
 # Inverse direction: Flax trees -> reference-named torch state_dicts, so
 # TPU-trained checkpoints flow back into the PyTorch ecosystem
