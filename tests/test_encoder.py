@@ -106,6 +106,18 @@ def test_sbert_pooling_matches_numpy_transliteration():
     np.testing.assert_array_equal(np.asarray(mask), attn == 0)
 
 
+def test_rnn_export_roundtrip():
+    """Flax -> torch state_dict -> Flax identity for the text encoder."""
+    from xmc_gan_tpu.utils.convert import rnn_encoder_params, rnn_encoder_state_dict
+
+    cfg = cfg_from_dict({"TEXT": {"EMBEDDING_DIM": 16, "VOCA_SIZE": 30}})
+    model = RNNEncoder(cfg)
+    variables = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 5), jnp.int32))
+    back = rnn_encoder_params(rnn_encoder_state_dict(variables["params"]))
+    for k, v in variables["params"].items():
+        np.testing.assert_array_equal(np.asarray(v), back[k], err_msg=k)
+
+
 def test_rnn_converter_roundtrip(tmp_path):
     """state_dict saved by a torch module with the reference's names converts
     and loads into RNNEncoder (utils/convert.py)."""

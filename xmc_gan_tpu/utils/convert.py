@@ -90,6 +90,19 @@ def load_rnn_encoder(path: str) -> dict:
     return rnn_encoder_params(load_state_dict(path))
 
 
+def rnn_encoder_state_dict(params: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Inverse of ``rnn_encoder_params``: our ``RNNEncoder`` params back to the
+    reference ``RNN_ENCODER`` state_dict names (tensor layouts are shared)."""
+    sd: dict[str, np.ndarray] = {}
+    for key, value in params.items():
+        arr = np.asarray(value, np.float32)
+        if key == "embedding":
+            sd["encoder.weight"] = arr
+        else:
+            sd[f"rnn.{key}"] = arr
+    return sd
+
+
 # --------------------------------------------------------------------------- #
 # DF-GAN G/D state_dicts (reference model/df_gan.py) -> Flax trees.
 # torch's spectral_norm wrapper stores ``weight_orig`` + power-iteration
