@@ -74,6 +74,24 @@ def test_trainer_resume_bitwise(run_dir):
     assert tr.state_epoch == 2 and int(tr.state.step) == 4
 
 
+def test_training_is_seed_deterministic(run_dir):
+    """Two fresh trainers with the same seed produce bitwise-identical
+    parameters after an epoch (stateless augmentation + seeded shuffles +
+    jitted step => full-run reproducibility)."""
+    cfg = tiny_cfg()
+    states = []
+    for run in range(2):
+        tr = Trainer(
+            cfg, seed=21, output_root=f"{run_dir}/det{run}", log_type="none",
+            synthetic=True, synthetic_len=16, save_after=50, num_threads=2,
+            eval_fid=False,
+        )
+        tr.fit(max_epochs=1)
+        states.append(tr.state)
+    for a, b in zip(jax.tree.leaves(states[0]), jax.tree.leaves(states[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_auto_checkpoint_every_n_steps(run_dir):
     cfg = tiny_cfg()
     tr = Trainer(
