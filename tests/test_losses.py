@@ -43,7 +43,8 @@ def np_make_labels(sent, b_global, smooth_global, p=0.6):
         if smooth_global != 0.0:
             w = smooth_global
         else:
-            w = (1.0 / num_pos.astype(np.float64))[:, None]
+            # torch broadcast: [bs] reciprocal * [bs, bs] mask -> column-indexed
+            w = (1.0 / num_pos.astype(np.float64))[None, :]
         labels = np.clip(labels + w * pos, None, 1.0)
     return labels
 
@@ -85,6 +86,36 @@ def test_make_labels_golden(b_global, smooth_global):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
     if b_global:
         assert (np.asarray(got).sum() > 16.0), "expected off-diagonal soft positives"
+
+
+def test_make_labels_matches_torch_broadcast():
+    """Pin the adaptive-weight orientation to actual torch broadcast semantics.
+
+    The reference computes ``global_weight * global_pos`` where global_weight is
+    a [bs] tensor (``torch.reciprocal(num_pos.float())``, train_gan.py:79-81);
+    torch broadcasts it across rows, i.e. labels[i, j] uses 1/num_pos[j].  This
+    test evaluates that exact torch expression (no reference import needed) on a
+    batch with an unequal-count positive chain so row/column indexing differ.
+    """
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(11)
+    sent = rng.randn(8, 32).astype(np.float32)
+    # chain: 0~1, 1~2 similar, so num_pos differs across rows (0:2, 1:3, 2:2)
+    sent[1] = sent[0] + 0.01 * rng.randn(32).astype(np.float32)
+    sent[2] = sent[1] + 0.01 * rng.randn(32).astype(np.float32)
+
+    t = torch.from_numpy(sent)
+    tn = torch.nn.functional.normalize(t, p=2, dim=1)
+    sim = tn @ tn.t()
+    sim.fill_diagonal_(3)
+    pos = (sim > 0.6) & (sim < 3)
+    num_pos = (pos > 0).sum(1).clamp_(min=1) + 1
+    want = (torch.eye(8) + torch.reciprocal(num_pos.float()) * pos).clamp_(max=1)
+
+    got = losses.make_labels(jnp.asarray(sent), True, 0.0)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-5, atol=1e-6)
+    # the chain must actually produce unequal counts, or this test proves nothing
+    assert len(set(num_pos.tolist())) > 1
 
 
 @pytest.mark.parametrize("b_global,smooth_global", CASES)

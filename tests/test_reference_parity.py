@@ -136,3 +136,49 @@ def test_discriminator_forward_matches_reference(ref_df_gan, spec_norm):
     np.testing.assert_allclose(
         np.asarray(img_feat), want_img_feat.numpy(), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("img_size,spec_norm", [(128, True), (256, False)])
+def test_discriminator_export_strict_loads_into_reference(
+    ref_df_gan, img_size, spec_norm
+):
+    """Exported D state_dicts strict-load into the reference NetD at 128/256px,
+    where the last downblocks have in_dim == out_dim and the reference still
+    constructs (unused) conv_s modules (df_gan.py:281) that our ResD omits —
+    the exporter must emit placeholder tensors for them."""
+    import torch
+
+    from xmc_gan_tpu.utils.convert import df_gan_discriminator_state_dict
+
+    cfg = _cfg(img_size, spec_norm)
+    model = df_gan.NetD(cfg)
+    init = model.init(
+        jax.random.PRNGKey(7),
+        jnp.zeros((1, img_size, img_size, 3)),
+        jnp.zeros((1, 24)),
+        method="d_all",
+    )
+    sd = df_gan_discriminator_state_dict(init["params"], init.get("spectral"))
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()
+          if not k.startswith("region_proj")}
+
+    torch.manual_seed(1)
+    ref_d = ref_df_gan.NetD(_ref_cfg(cfg))
+    ref_d.load_state_dict(sd, strict=True)
+
+    # and the loaded reference model still agrees with ours on a forward
+    ref_d.eval()
+    rng = np.random.RandomState(5)
+    imgs = rng.uniform(-1, 1, (2, 3, img_size, img_size)).astype(np.float32)
+    sent = rng.randn(2, 24).astype(np.float32)
+    with torch.no_grad():
+        want_feats = ref_d(torch.from_numpy(imgs))
+        want_match, _, _ = ref_d.COND_DNET(want_feats, torch.from_numpy(sent))
+    variables = {"params": init["params"]}
+    if spec_norm:
+        variables["spectral"] = init["spectral"]
+    feats = model.apply(variables, jnp.asarray(np.transpose(imgs, (0, 2, 3, 1))))
+    match, _, _ = model.apply(variables, feats, jnp.asarray(sent), method="logits")
+    np.testing.assert_allclose(
+        np.asarray(match), want_match.numpy().reshape(-1), rtol=1e-3, atol=1e-4
+    )

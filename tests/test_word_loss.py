@@ -76,6 +76,62 @@ def test_word_loss_ignores_padded_words():
     np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
 
 
+def test_word_region_scores_blockwise_matches_single_shot():
+    """The LN-scale streaming path (lax.map over caption blocks + checkpoint)
+    must agree with the single fused einsum — values and gradients — including
+    when the caption count does not divide the block size (padding path)."""
+    rng = np.random.RandomState(2)
+    B, R, T, D = 5, 7, 11, 8
+    regions = jnp.asarray(rng.randn(B, R, D), jnp.float32)
+    words = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    mask = jnp.asarray(rng.rand(B, T) > 0.6)
+
+    single = losses.word_region_scores(regions, words, mask, block_elems=None)
+    # force caption blocks of 2 -> nb=3 with one padded caption
+    blocked = losses.word_region_scores(
+        regions, words, mask, block_elems=B * T * R * 2 // B
+    )
+    np.testing.assert_allclose(np.asarray(single), np.asarray(blocked), rtol=1e-5)
+
+    labels = jnp.eye(B)
+
+    def loss_fn(block_elems):
+        def f(r, w):
+            return losses.word_loss(r, w, mask, labels, False, 0.5,
+                                    block_elems=block_elems)
+        return f
+
+    v1, (gr1, gw1) = jax.value_and_grad(loss_fn(None), argnums=(0, 1))(regions, words)
+    v2, (gr2, gw2) = jax.value_and_grad(loss_fn(2 * T * R), argnums=(0, 1))(
+        regions, words
+    )
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gr1), np.asarray(gr2), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4, atol=1e-6)
+
+
+def test_word_loss_streams_at_long_caption_shapes():
+    """T=200 (LN-COCO MAX_LENGTH) exercises the streaming path end-to-end with
+    gradients; block budget forces ~B/4-caption blocks as at the real config."""
+    rng = np.random.RandomState(3)
+    B, R, T, D = 8, 16, 200, 32
+    regions = jnp.asarray(rng.randn(B, R, D), jnp.float32)
+    words = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    mask = np.zeros((B, T), bool)
+    for i in range(B):
+        mask[i, 40 + 20 * i :] = True
+    labels = jnp.eye(B)
+
+    def f(r, w):
+        return losses.word_loss(r, w, jnp.asarray(mask), labels, False, 0.5,
+                                block_elems=2 * B * T * R // B)
+
+    val, grads = jax.jit(jax.value_and_grad(f, argnums=(0, 1)))(regions, words)
+    assert np.isfinite(float(val))
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
 def test_train_step_with_word_loss():
     from xmc_gan_tpu.train import create_train_state, make_train_step
 

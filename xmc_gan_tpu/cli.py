@@ -29,7 +29,8 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="accepted for reference-CLI parity; ignored on TPU")
     t.add_argument("--seed", type=int, default=100)
     t.add_argument("--resume_epoch", type=int, default=0)
-    t.add_argument("--log_type", default="tb", choices=["tb", "wandb", "none"])
+    # "wdb" is the reference's spelling for wandb (train_gan.py:162,300)
+    t.add_argument("--log_type", default="tb", choices=["tb", "wandb", "wdb", "none"])
     t.add_argument("--bs", type=int, default=-1, help="override TRAIN.BATCH_SIZE")
     t.add_argument("--imsize", type=int, default=-1, help="override IMG.SIZE")
     t.add_argument("--data_dir", default=None)

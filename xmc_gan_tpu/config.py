@@ -56,10 +56,13 @@ class EncoderLossConfig:
 class SmoothConfig:
     """Loss weights (reference ``config/gan.py:39-43``).
 
-    ``WORD`` is a schema *extension*: the reference declares the
-    ``ENCODER_LOSS.WORD`` flag but no weight (its implementation raises
+    ``WORD`` and ``GAMMA1/2/3`` are schema *extensions*: the reference declares
+    the ``ENCODER_LOSS.WORD`` flag but no weight (its implementation raises
     ``NotImplementedError``); this framework implements the word-region loss
-    (``losses.word_loss``), weighted here.  Reference YAMLs never set it, so
+    (``losses.word_loss``), weighted by ``WORD`` with the attentional-matching
+    temperatures ``GAMMA1`` (word->region attention), ``GAMMA2`` (log-sum-exp
+    aggregation) and ``GAMMA3`` (InfoNCE score scale) — defaults are the
+    AttnGAN/DAMSM COCO values.  Reference YAMLs never set any of these, so
     strict-merge parity is unaffected."""
 
     MISMATCH: float = 1.0
@@ -67,6 +70,9 @@ class SmoothConfig:
     SENT: float = 1.0
     DISC: float = 1.0
     WORD: float = 1.0
+    GAMMA1: float = 4.0
+    GAMMA2: float = 5.0
+    GAMMA3: float = 10.0
 
 
 @dataclass(frozen=True)

@@ -41,6 +41,7 @@ __all__ = [
     "sent_loss",
     "img_loss",
     "word_loss",
+    "word_region_scores",
     "hinge_real",
     "hinge_fake",
     "generator_loss",
@@ -79,9 +80,12 @@ def make_labels(
     Identity labels, optionally augmented with off-diagonal soft positives for
     caption pairs whose sentence-embedding cosine similarity exceeds ``p``.
     ``smooth_global`` is ``cfg.TRAIN.SMOOTH.GLOBAL``: if nonzero it is the fixed
-    soft-label weight; if zero the weight adapts to ``1 / num_pos`` per row,
-    where ``num_pos = clamp(#positives, min=1) + 1`` (reference quirk: a row
-    with no positives still gets num_pos == 2).  Result is stop-gradiented.
+    soft-label weight; if zero the weight adapts to ``1 / num_pos`` per *column*
+    — the reference's ``global_weight * global_pos`` broadcasts the ``[bs]``
+    reciprocal across rows, so ``labels[i, j] = 1 / num_pos[j]``
+    (``train_gan.py:79-81``) — where ``num_pos = clamp(#positives, min=1) + 1``
+    (quirk: a row with no positives still gets num_pos == 2).  Result is
+    stop-gradiented.
     """
     batch_size = sent_embs.shape[0]
     labels = jnp.eye(batch_size, dtype=jnp.float32)
@@ -94,7 +98,7 @@ def make_labels(
         if smooth_global != 0.0:
             global_weight = jnp.asarray(smooth_global, jnp.float32)
         else:
-            global_weight = (1.0 / num_pos.astype(jnp.float32))[:, None]
+            global_weight = (1.0 / num_pos.astype(jnp.float32))[None, :]
         labels = jnp.clip(labels + global_weight * global_pos.astype(jnp.float32), max=1.0)
     return jax.lax.stop_gradient(labels)
 
@@ -152,6 +156,73 @@ def img_loss(
     return _symmetric_info_nce(scores, labels, num_pos)
 
 
+# Largest [B_img, C, T, R] similarity intermediate the word loss will
+# materialize at once, in f32 elements (2**26 elems = 256 MB).  At the shipped
+# LN-COCO config (B=256, T=200, R=256) the unblocked tensor is 3.3e9 elements
+# (~13 GB) — far beyond a 16 GB chip — so caption blocks of ~5 stream through
+# a scan instead.
+WORD_LOSS_BLOCK_ELEMS = 2**26
+
+
+def word_region_scores(
+    region_feats: Array,
+    words_embs: Array,
+    mask: Array,
+    gamma1: float = 4.0,
+    gamma2: float = 5.0,
+    block_elems: int | None = WORD_LOSS_BLOCK_ELEMS,
+) -> Array:
+    """Pairwise attentional word-region matching scores ``[B_img, B_cap]``.
+
+    The AttnGAN/DAMSM matching score used by XMC-GAN's word loss: per
+    (image i, caption j) pair, each word of caption j soft-attends over the
+    regions of image i (temperature ``gamma1``); the per-word relevances
+    (cosine between attention context and word) aggregate by log-sum-exp with
+    ``gamma2``; padded words (``mask`` True) are excluded.
+
+    Memory: the naive formulation materializes a ``[B, B, T, R]`` similarity
+    tensor — 13 GB at the LN-COCO config — so when it would exceed
+    ``block_elems`` f32 elements, captions stream through ``lax.scan`` in
+    blocks with the block body rematerialized on the backward pass
+    (``jax.checkpoint``): live memory is one block's intermediates regardless
+    of B/T/R.  Small shapes keep the single fused einsum.  Numerics are
+    identical (tested) — blocking only splits the caption axis, which no
+    softmax crosses.
+
+    ``region_feats``: [B, R, D]; ``words_embs``: [Bc, T, D]; ``mask``: [Bc, T].
+    """
+    r = l2_normalize(region_feats.astype(jnp.float32), axis=-1)  # [B, R, D]
+    w = l2_normalize(words_embs.astype(jnp.float32), axis=-1)  # [Bc, T, D]
+    b, r_regions, d = r.shape
+    bc, t, _ = w.shape
+
+    def block(wb: Array, mb: Array) -> Array:
+        # wb: [C, T, D] caption block; mb: [C, T] -> scores [B_img, C]
+        sim = jnp.einsum("ctd,ird->ictr", wb, r)  # word -> region similarity
+        attn = jax.nn.softmax(gamma1 * sim, axis=-1)
+        ctx = jnp.einsum("ictr,ird->ictd", attn, r)  # region context per word
+        ctx = l2_normalize(ctx, axis=-1)
+        rel = jnp.einsum("ictd,ctd->ict", ctx, wb)  # cosine(context, word)
+        neg = jnp.asarray(-1e30, jnp.float32)
+        rel = jnp.where(mb[None, :, :], neg, gamma2 * rel)
+        return jax.nn.logsumexp(rel, axis=-1) / gamma2  # [B_img, C]
+
+    if block_elems is None or b * bc * t * r_regions <= block_elems:
+        return block(w, mask)
+
+    c = max(1, min(bc, block_elems // (b * t * r_regions)))
+    nb = -(-bc // c)
+    pad = nb * c - bc
+    wp = jnp.pad(w, ((0, pad), (0, 0), (0, 0)))
+    mp = jnp.pad(mask, ((0, pad), (0, 0)), constant_values=True)
+    blocks = jax.lax.map(
+        jax.checkpoint(lambda args: block(*args)),
+        (wp.reshape(nb, c, t, d), mp.reshape(nb, c, t)),
+    )  # [nb, B_img, C]
+    scores = jnp.moveaxis(blocks, 1, 0).reshape(b, nb * c)
+    return scores[:, :bc]
+
+
 def word_loss(
     region_feats: Array,
     words_embs: Array,
@@ -162,39 +233,24 @@ def word_loss(
     gamma1: float = 4.0,
     gamma2: float = 5.0,
     gamma3: float = 10.0,
+    block_elems: int | None = WORD_LOSS_BLOCK_ELEMS,
 ) -> Array:
     """Word-region attentional contrastive loss (XMC-GAN's third objective).
 
     The reference defines the ``ENCODER_LOSS.WORD`` flag but raises
     ``NotImplementedError`` (``train_gan.py:220-222,267``); this implements the
-    north-star objective using the standard attentional matching score
-    (AttnGAN/DAMSM, as used by XMC-GAN): per (image, caption) pair, each word
-    soft-attends over image regions (temperature ``gamma1``), word relevances
-    aggregate by log-sum-exp (``gamma2``), and the resulting [B, B] score
-    matrix (scaled by ``gamma3``) feeds the same symmetric label-weighted
-    InfoNCE as ``sent_loss``.  Padded words (``mask`` True) are excluded.
+    north-star objective: the blockwise pairwise matching scores of
+    ``word_region_scores`` (scaled by ``gamma3``) feed the same symmetric
+    label-weighted InfoNCE as ``sent_loss``.  The temperatures come from
+    ``cfg.TRAIN.SMOOTH.GAMMA1/2/3`` (AttnGAN COCO defaults).
 
     ``region_feats``: [B, R, D] spatial discriminator features;
     ``words_embs``: [B, T, D]; rows of the score matrix index images.
-    Everything is computed in float32 (one [B, B, T, R] einsum — negligible
-    next to the conv stacks, and XLA turns the batch axes into one fused
-    contraction on the MXU).
     """
     num_pos = contrastive_num_pos(labels, b_global, smooth_global)
-    r = l2_normalize(region_feats.astype(jnp.float32), axis=-1)  # [B, R, D]
-    w = l2_normalize(words_embs.astype(jnp.float32), axis=-1)  # [B, T, D]
-
-    # word -> region attention per (image i, caption j) pair
-    sim = jnp.einsum("jtd,ird->ijtr", w, r)  # [B_img, B_cap, T, R]
-    attn = jax.nn.softmax(gamma1 * sim, axis=-1)
-    ctx = jnp.einsum("ijtr,ird->ijtd", attn, r)  # region context per word
-    ctx = l2_normalize(ctx, axis=-1)
-    rel = jnp.einsum("ijtd,jtd->ijt", ctx, w)  # cosine(context, word)
-
-    # masked log-sum-exp over real words: R(Q,D) = logsumexp(gamma2*rel)/gamma2
-    neg = jnp.asarray(-1e30, jnp.float32)
-    rel = jnp.where(mask[None, :, :], neg, gamma2 * rel)
-    score = jax.nn.logsumexp(rel, axis=-1) / gamma2  # [B_img, B_cap]
+    score = word_region_scores(
+        region_feats, words_embs, mask, gamma1, gamma2, block_elems
+    )
     return _symmetric_info_nce(gamma3 * score, labels, num_pos)
 
 

@@ -17,7 +17,7 @@ from xmc_gan_tpu.ops.initializers import (
     zeros_init,
 )
 
-__all__ = ["gen_arch", "disc_arch", "concept_gen_arch", "concept_disc_arch", "inits"]
+__all__ = ["gen_arch", "disc_arch", "concept_gen_arch", "inits"]
 
 
 def gen_arch(img_size: int, nch: int) -> dict:
@@ -81,28 +81,6 @@ def concept_gen_arch(img_size: int, nch: int) -> dict:
         "upsample": [True] * (depth - 1) + [False],
         "resolution": resolution,
         "attention": [False] * 2 + [True] * (depth - 2),
-        "depth": depth,
-    }
-
-
-def concept_disc_arch(img_size: int, nch: int) -> dict:
-    """Word-attention concept-GAN discriminator table (reference
-    ``concept_gan.py:39-64``)."""
-    assert img_size in (64, 128, 256)
-    if img_size == 256:
-        in_ch, out_ch = [1, 2, 4, 8, 8, 16], [1, 2, 4, 8, 8, 16, 16]
-        resolution, depth = [128, 64, 32, 16, 8, 4, 4], 7
-    elif img_size == 128:
-        in_ch, out_ch = [1, 2, 4, 8, 8], [1, 2, 4, 8, 8, 16]
-        resolution, depth = [64, 32, 16, 8, 4, 4], 6
-    else:
-        in_ch, out_ch = [1, 2, 4, 8], [1, 2, 4, 8, 8]
-        resolution, depth = [32, 16, 8, 4, 4], 5
-    return {
-        "in_channels": [3] + [i * nch for i in in_ch],
-        "out_channels": [i * nch for i in out_ch],
-        "downsample": [True] * depth,
-        "resolution": resolution,
         "depth": depth,
     }
 

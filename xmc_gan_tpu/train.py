@@ -242,7 +242,8 @@ def make_train_step(
                 enc_loss = enc_loss + t.SMOOTH.SENT * ds_loss
             if el.WORD:
                 ds_word = losses.word_loss(
-                    regions_real, words, mask, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL
+                    regions_real, words, mask, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL,
+                    t.SMOOTH.GAMMA1, t.SMOOTH.GAMMA2, t.SMOOTH.GAMMA3,
                 )
                 enc_loss = enc_loss + t.SMOOTH.WORD * ds_word
 
@@ -300,7 +301,8 @@ def make_train_step(
                     enc_loss = enc_loss + t.SMOOTH.SENT * gs_loss
                 if el.WORD:
                     gs_word = losses.word_loss(
-                        regions_fake, words, mask, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL
+                        regions_fake, words, mask, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL,
+                        t.SMOOTH.GAMMA1, t.SMOOTH.GAMMA2, t.SMOOTH.GAMMA3,
                     )
                     enc_loss = enc_loss + t.SMOOTH.WORD * gs_word
                 if el.DISC:

@@ -125,7 +125,7 @@ class Trainer:
         synthetic_len: int = 512,
         mesh=None,
         save_after: int = 50,
-        num_threads: int = 8,
+        num_threads: int | None = None,
         eval_num_samples: int = 6000,
         eval_fid: bool = True,
         dtype=None,
@@ -167,6 +167,10 @@ class Trainer:
             self.train_set = ds_cls(data_dir, "train", cfg)
             self.test_set = ds_cls(data_dir, "test", cfg)
         bs = cfg.TRAIN.BATCH_SIZE
+        # reference DataLoader(num_workers=cfg.TRAIN.NUM_WORKERS) parity
+        # (train_gan.py:456-457 reads the config's worker count)
+        if num_threads is None:
+            num_threads = cfg.TRAIN.NUM_WORKERS
         self.train_loader = DataLoader(
             self.train_set, bs, shuffle=True, drop_last=True, seed=seed,
             num_threads=num_threads, shard=shard,
@@ -351,7 +355,10 @@ class Trainer:
         """Post-checkpoint FID eval (reference ``train_gan.py:334,338-396``):
         6000 fresh-noise samples against test images through Inception pool3."""
         from xmc_gan_tpu.eval import FidComputer, evaluate_fid
+        from xmc_gan_tpu.train import make_sample_fn
 
+        if not hasattr(self, "_sample_fn"):
+            self._sample_fn = make_sample_fn(self.cfg, dtype=self.dtype)
         if not hasattr(self, "_fid"):
             self._fid = FidComputer()
             if not self._fid.pretrained:
@@ -368,6 +375,7 @@ class Trainer:
             num_samples=self.eval_num_samples,
             seed=self.seed + epoch,
             fid=self._fid,
+            sample_fn=self._sample_fn,
         )
         self.logger.info(f"epoch : {epoch}, FID : {fid_value:.3f}")
         return fid_value
@@ -412,7 +420,11 @@ class Trainer:
                 if self.auto_ckpt and self.global_step % self.save_every_steps == 0:
                     self.auto_ckpt.save(self.global_step, self.state)
 
-                if (step + 1) % cfg.TRAIN.N_CRITIC == 0:
+                # Gate on the same persisted counter the jitted step uses for
+                # the G update (train.py:337), not the per-epoch index — they
+                # diverge when steps_per_epoch % N_CRITIC != 0, and logging on
+                # the wrong one records zeros from skipped G steps.
+                if self.global_step % cfg.TRAIN.N_CRITIC == 0:
                     last_metrics = {k: float(v) for k, v in metrics.items()}
                     self.logger.info(
                         f"[{epoch}/{max_epochs}][{step + 1}/{steps_per_epoch}] "

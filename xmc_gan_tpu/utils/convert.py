@@ -403,6 +403,25 @@ def df_gan_discriminator_state_dict(
                     sd[f"downblocks.{i}.gamma"] = np.asarray(snode, np.float32)
                 else:
                     raise KeyError(f"Unexpected NetD param {key}/{sub}")
+            if "conv_s" not in node:
+                # The reference resD constructs conv_s unconditionally but only
+                # calls it when in_dim != out_dim (df_gan.py:281,287-291); our
+                # ResD omits the module for equal dims, so strict load into the
+                # reference NetD (which 128/256px archs hit in their last
+                # blocks) needs placeholder tensors.  They are functionally
+                # unused — conv_s.forward never runs for equal-dim blocks.
+                _, _, in_dim, out_dim = np.asarray(node["conv_r1"]["kernel"]).shape
+                assert in_dim == out_dim, f"block{i + 1} missing conv_s with unequal dims"
+                spec_on = isinstance(spec, Mapping) and "u" in spec.get("conv_r1", {})
+                w_name = f"downblocks.{i}.conv_s.weight_orig" if spec_on \
+                    else f"downblocks.{i}.conv_s.weight"
+                sd[w_name] = np.zeros((out_dim, in_dim, 1, 1), np.float32)
+                sd[f"downblocks.{i}.conv_s.bias"] = np.zeros((out_dim,), np.float32)
+                if spec_on:
+                    u = np.zeros((out_dim,), np.float32); u[0] = 1.0
+                    v = np.zeros((in_dim,), np.float32); v[0] = 1.0
+                    sd[f"downblocks.{i}.conv_s.weight_u"] = u
+                    sd[f"downblocks.{i}.conv_s.weight_v"] = v
         elif key == "cond_dnet":
             for sub, snode in node.items():
                 sspec = spec.get(sub, {}) if isinstance(spec, Mapping) else {}

@@ -57,6 +57,8 @@ class MetricWriter:
         self._wandb = None
         if rank != 0 or log_type == "none":
             return
+        if log_type == "wdb":  # reference spelling (train_gan.py:162,300)
+            log_type = "wandb"
         if log_type == "tb":
             from tensorboardX import SummaryWriter
 
