@@ -76,6 +76,30 @@ def parse_args(argv=None) -> argparse.Namespace:
     e.add_argument("--bs", type=int, default=-1)
     e.add_argument("--imsize", type=int, default=-1)
 
+    pl = sub.add_parser(
+        "prep-ln",
+        help="convert Localized Narratives JSONL annotations into the "
+             "reference dataset layout (filenames.pickle + "
+             "bert_captions.pickle); optionally build the SBERT cache",
+    )
+    pl.add_argument("--data_dir", required=True,
+                    help="dataset root; images at {data_dir}/images/{key}.jpg")
+    pl.add_argument("--train_jsonl", action="append", required=True,
+                    help="LN annotation JSONL for the train split (repeatable)")
+    pl.add_argument("--test_jsonl", action="append", required=True,
+                    help="LN annotation JSONL for the test split (repeatable)")
+    pl.add_argument("--caps_per_image", type=int, default=1,
+                    help="caption slots per image (must match "
+                         "cfg.TEXT.CAPTIONS_PER_IMAGE; LN default 1)")
+    pl.add_argument("--key_format", default="{}",
+                    help="image_id -> image key, e.g. 'COCO_train2014_{:012d}' "
+                         "(2014 naming), '{:012d}' (2017), '{}' (OpenImages)")
+    pl.add_argument("--build_cache", action="store_true",
+                    help="also run text_encode.build_sbert_cache (needs HF "
+                         "RoBERTa weights locally)")
+    pl.add_argument("--cfg", default=None,
+                    help="YAML config for --build_cache (MAX_LENGTH etc.)")
+
     s = sub.add_parser("sample", help="generate images from captions with a "
                                       "trained checkpoint")
     s.add_argument("--cfg", required=True)
@@ -233,6 +257,23 @@ def run_sample(args: argparse.Namespace) -> str:
     return args.out
 
 
+def run_prep_ln(args: argparse.Namespace) -> dict:
+    from xmc_gan_tpu.data.ln_prep import prepare_localized_narratives
+
+    counts = prepare_localized_narratives(
+        args.data_dir, args.train_jsonl, args.test_jsonl,
+        caps_per_image=args.caps_per_image, key_format=args.key_format,
+    )
+    if args.build_cache:
+        if not args.cfg:
+            raise SystemExit("--build_cache requires --cfg")
+        from xmc_gan_tpu.config import cfg_from_file
+        from xmc_gan_tpu.data.text_encode import build_sbert_cache
+
+        build_sbert_cache(args.data_dir, cfg_from_file(args.cfg))
+    return counts
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
     if args.command == "train":
@@ -244,6 +285,9 @@ def main(argv=None) -> int:
         return 0
     if args.command == "sample":
         print(run_sample(args))
+        return 0
+    if args.command == "prep-ln":
+        print(run_prep_ln(args))
         return 0
     raise AssertionError(args.command)
 

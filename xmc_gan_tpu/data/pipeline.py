@@ -191,7 +191,11 @@ class _TextDatasetBase:
         img = load_image(
             f"{self.data_dir}/images/{key}.jpg", self.img_size, self.mode, rng
         )
-        sent_ix = 1  # reference quirk: fixed second caption (dataset.py:50-52)
+        # Reference quirk: fixed *second* caption (dataset.py:50-52) — but only
+        # meaningful when each image has several captions (COCO: 5).  With
+        # CAPTIONS_PER_IMAGE=1 (the LN configs) index 1 would read the *next*
+        # image's caption and overflow on the last one, so clamp to 0 there.
+        sent_ix = 1 if self.caps_per_image > 1 else 0
         cap_idx = idx * self.caps_per_image + sent_ix
         cap, cap_len = self.get_caption(cap_idx)
         return {
