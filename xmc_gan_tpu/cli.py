@@ -70,7 +70,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     e.add_argument("--output_root", default="output")
     e.add_argument("--synthetic", action="store_true")
     e.add_argument("--synthetic_len", type=int, default=512)
-    e.add_argument("--num_samples", type=int, default=6000)
+    e.add_argument("--num_samples", type=int, default=None,
+                   help="default: 6000 (ref6k) / 30000 (fid30k)")
+    e.add_argument("--protocol", default="ref6k", choices=["ref6k", "fid30k"],
+                   help="ref6k = reference 6000-sample eval "
+                        "(train_gan.py:386-387); fid30k = XMC-GAN paper "
+                        "FID-30K (30k samples vs full test statistics)")
     e.add_argument("--save_images", action="store_true",
                    help="also write per-key PNGs like the reference eval loop")
     e.add_argument("--bs", type=int, default=-1)
@@ -99,6 +104,16 @@ def parse_args(argv=None) -> argparse.Namespace:
                          "RoBERTa weights locally)")
     pl.add_argument("--cfg", default=None,
                     help="YAML config for --build_cache (MAX_LENGTH etc.)")
+
+    cw = sub.add_parser(
+        "convert-fid-weights",
+        help="convert a torchvision inception_v3 or pytorch_fid checkpoint "
+             "(.pth) into a torch-free .npz for FID_WEIGHTS_PATH",
+    )
+    cw.add_argument("--src", required=True,
+                    help=".pth checkpoint: torchvision inception_v3 or "
+                         "pytorch_fid pt_inception-2015-12-05 (same names)")
+    cw.add_argument("--out", required=True, help="output .npz path")
 
     s = sub.add_parser("sample", help="generate images from captions with a "
                                       "trained checkpoint")
@@ -176,7 +191,7 @@ def run_eval(args: argparse.Namespace) -> float:
     import dataclasses
 
     from xmc_gan_tpu.config import cfg_from_file
-    from xmc_gan_tpu.eval import evaluate_fid
+    from xmc_gan_tpu.eval import evaluate_fid, evaluate_fid_30k
     from xmc_gan_tpu.trainer import Trainer
 
     cfg = cfg_from_file(args.cfg)
@@ -184,13 +199,23 @@ def run_eval(args: argparse.Namespace) -> float:
         cfg = cfg.replace(IMG=cfg.IMG.__class__(SIZE=args.imsize))
     if args.bs != -1:
         cfg = cfg.replace(TRAIN=dataclasses.replace(cfg.TRAIN, BATCH_SIZE=args.bs))
+    num_samples = args.num_samples or (30000 if args.protocol == "fid30k" else 6000)
     trainer = Trainer(
         cfg, seed=args.seed, data_dir=args.data_dir,
         output_root=args.output_root, log_type="none",
         synthetic=args.synthetic, synthetic_len=args.synthetic_len,
-        eval_num_samples=args.num_samples,
+        eval_num_samples=num_samples,
     )
     trainer.resume(args.resume_epoch or None)
+    if args.protocol == "fid30k":
+        fid_value = evaluate_fid_30k(
+            cfg, trainer.state.g_params, trainer.encode, trainer.test_loader,
+            num_samples=num_samples, seed=args.seed,
+        )
+        trainer.logger.info(
+            f"epoch : {trainer.state_epoch}, FID-30K : {fid_value:.3f}"
+        )
+        return fid_value
     save_dir = org_dir = None
     if args.save_images:
         epoch = trainer.state_epoch
@@ -198,11 +223,21 @@ def run_eval(args: argparse.Namespace) -> float:
         org_dir = f"{trainer.img_dir}/eval_{epoch:03d}/org"
     fid_value = evaluate_fid(
         cfg, trainer.state.g_params, trainer.encode, trainer.test_loader,
-        num_samples=args.num_samples, seed=args.seed,
+        num_samples=num_samples, seed=args.seed,
         save_dir=save_dir, org_dir=org_dir,
     )
     trainer.logger.info(f"epoch : {trainer.state_epoch}, FID : {fid_value:.3f}")
     return fid_value
+
+
+def run_convert_fid_weights(args: argparse.Namespace) -> str:
+    from xmc_gan_tpu.eval import save_fid_weights_npz
+    from xmc_gan_tpu.models.inception import inception_params_from_torch
+    from xmc_gan_tpu.utils.convert import load_state_dict
+
+    variables = inception_params_from_torch(load_state_dict(args.src))
+    save_fid_weights_npz(variables, args.out)
+    return args.out
 
 
 def run_sample(args: argparse.Namespace) -> str:
@@ -288,6 +323,9 @@ def main(argv=None) -> int:
         return 0
     if args.command == "prep-ln":
         print(run_prep_ln(args))
+        return 0
+    if args.command == "convert-fid-weights":
+        print(run_convert_fid_weights(args))
         return 0
     raise AssertionError(args.command)
 

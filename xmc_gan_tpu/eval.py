@@ -11,11 +11,18 @@ running (sum, outer-product-sum, count) — O(D^2) memory, single pass — and
 reduced across hosts before the final host-side sqrtm.  PNG saving is optional
 (kept for artifact parity, off the hot path).
 
-Weights: ``FID_WEIGHTS_PATH`` env var or ``weights_path=`` pointing at a
-torchvision ``inception_v3`` or pytorch_fid checkpoint (``utils/convert``
-handles both layouts).  Without weights, ``FidComputer`` falls back to a
-fixed-seed random-init Inception — self-consistent for relative tracking in
-smoke runs, clearly flagged, never comparable to published FID numbers.
+Weights: ``FID_WEIGHTS_PATH`` env var or ``weights_path=`` pointing at either
+a torch checkpoint (torchvision ``inception_v3`` or pytorch_fid — identical
+tensor names, ``utils/convert`` handles both) or a pre-converted ``.npz``
+written by ``cli convert-fid-weights`` (torch-free load).  Without weights,
+``FidComputer`` falls back to a fixed-seed random-init Inception —
+self-consistent for relative tracking in smoke runs, clearly flagged, never
+comparable to published FID numbers.
+
+Protocols: ``evaluate_fid`` is the reference's 6,000-sample eval
+(``train_gan.py:386-387``); ``evaluate_fid_30k`` is the XMC-GAN paper's
+FID-30K — 30,000 generated samples (captions re-drawn from the test split
+with fresh noise each pass) against the statistics of the full test set.
 """
 
 from __future__ import annotations
@@ -34,7 +41,15 @@ from xmc_gan_tpu.models.inception import (
     preprocess,
 )
 
-__all__ = ["FeatureStats", "FidComputer", "fid_from_stats", "evaluate_fid"]
+__all__ = [
+    "FeatureStats",
+    "FidComputer",
+    "fid_from_stats",
+    "evaluate_fid",
+    "evaluate_fid_30k",
+    "save_fid_weights_npz",
+    "load_fid_weights_npz",
+]
 
 
 def fid_from_stats(
@@ -90,6 +105,29 @@ class FeatureStats:
         return mu, sigma
 
 
+def save_fid_weights_npz(variables: dict, path: str) -> None:
+    """Converted Inception variables -> flat ``.npz`` ('/'-joined paths) so the
+    FID extractor loads without torch in the training environment
+    (``cli convert-fid-weights``)."""
+    flat = {}
+    for key_path, leaf in jax.tree_util.tree_leaves_with_path(variables):
+        name = "/".join(k.key for k in key_path)
+        flat[name] = np.asarray(leaf, np.float32)
+    np.savez(path, **flat)
+
+
+def load_fid_weights_npz(path: str) -> dict:
+    data = np.load(path)
+    tree: dict = {}
+    for name in data.files:
+        node = tree
+        *parents, leaf = name.split("/")
+        for p in parents:
+            node = node.setdefault(p, {})
+        node[leaf] = data[name]
+    return tree
+
+
 class FidComputer:
     """Jitted Inception pool3 features + streaming stats + final FID."""
 
@@ -100,7 +138,11 @@ class FidComputer:
         self.model = InceptionV3(fid_variant=True)
         weights_path = weights_path or os.environ.get("FID_WEIGHTS_PATH", "")
         self.pretrained = bool(weights_path) and os.path.isfile(weights_path)
-        if self.pretrained:
+        if self.pretrained and weights_path.endswith(".npz"):
+            self.variables = jax.tree.map(
+                jnp.asarray, load_fid_weights_npz(weights_path)
+            )
+        elif self.pretrained:
             from xmc_gan_tpu.utils.convert import load_state_dict
 
             self.variables = jax.tree.map(
@@ -190,4 +232,55 @@ def evaluate_fid(
         done += bs * jax.process_count()
         if done >= num_samples:  # reference stops at 6000 (train_gan.py:386-387)
             break
+    return fid.fid(real_stats, fake_stats)
+
+
+def evaluate_fid_30k(
+    cfg: Config,
+    g_params,
+    encode_fn: Callable,
+    test_loader: Iterable,
+    *,
+    num_samples: int = 30000,
+    seed: int = 0,
+    fid: FidComputer | None = None,
+    sample_fn: Callable | None = None,
+) -> float:
+    """XMC-GAN paper protocol: FID over 30,000 generated samples vs the
+    statistics of the *full* test split.
+
+    The test split is cycled (``set_epoch`` re-draws nothing — captions repeat
+    across passes, which is how 30k samples come from COCO's ~5k val images)
+    with fresh noise per batch and per pass, so repeated captions produce
+    distinct samples.  Real statistics accumulate during the first pass only.
+    Distinct from ``evaluate_fid`` (the reference's 6,000-sample protocol)
+    by construction, not by parameter: real coverage is complete and fake
+    sampling is with-replacement.
+    """
+    from xmc_gan_tpu.train import make_sample_fn
+
+    fid = fid or FidComputer()
+    sample_fn = sample_fn or make_sample_fn(cfg)
+    real_stats, fake_stats = fid.stats(), fid.stats()
+    rng = jax.random.PRNGKey(seed)
+    done = 0
+    first_pass = True
+    while done < num_samples:
+        saw_batch = False
+        for batch in test_loader:
+            saw_batch = True
+            words, sent, mask = encode_fn(batch)
+            bs = sent.shape[0]
+            rng, nrng = jax.random.split(rng)
+            noise = jax.random.normal(nrng, (bs, cfg.TRAIN.NOISE_DIM), jnp.float32)
+            fake = sample_fn(g_params, noise, sent, words, mask)
+            fid.update(fake_stats, fake)
+            if first_pass:
+                fid.update(real_stats, jnp.asarray(batch["imgs"]))
+            done += bs * jax.process_count()
+            if done >= num_samples:
+                break
+        if not saw_batch:
+            raise ValueError("empty test loader")
+        first_pass = False
     return fid.fid(real_stats, fake_stats)
