@@ -13,6 +13,8 @@ from xmc_gan_tpu.config import cfg_from_dict
 from xmc_gan_tpu.models import df_concept_gan
 from xmc_gan_tpu.utils.convert import df_concept_generator_params, merge_partial
 
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference"
 
 

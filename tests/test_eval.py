@@ -171,6 +171,7 @@ def test_fid_from_stats_properties():
     assert fid_from_stats(mu_a, sig_a, mu_b, sig_b) == pytest.approx(72.0, rel=1e-6)
 
 
+@pytest.mark.slow
 def test_evaluate_fid_end_to_end_synthetic():
     """Full loop with the random-init fallback extractor: same distribution
     twice -> small FID; G output vs real -> finite, larger."""
@@ -246,6 +247,7 @@ def test_convert_fid_weights_cli_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_evaluate_fid_30k_protocol_cycles_loader():
     """FID-30K mode: more samples than the test split -> the loader cycles
     with fresh noise; real stats cover the split exactly once."""

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from xmc_gan_tpu.config import cfg_from_file
 from xmc_gan_tpu.train import create_train_state, make_train_step
 
+pytestmark = pytest.mark.slow
+
 CFG_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "xmc_gan_tpu", "cfg")
 
 

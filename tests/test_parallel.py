@@ -103,6 +103,7 @@ def tiny_setup():
     return cfg, state, batch
 
 
+@pytest.mark.slow
 def test_train_step_dp_tp_mesh_matches_single_device(tiny_setup, eight_devices):
     cfg, state, batch = tiny_setup
     step = make_train_step(cfg)

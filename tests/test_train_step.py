@@ -55,6 +55,7 @@ def leaf_l2_delta(a, b):
     )
 
 
+@pytest.mark.slow
 def test_two_steps_finite_and_params_move():
     cfg = tiny_cfg()
     state = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -68,6 +69,7 @@ def test_two_steps_finite_and_params_move():
     assert float(m1["d_loss_gp"]) >= 0.0
 
 
+@pytest.mark.slow
 def test_g_and_d_params_change_after_step():
     cfg = tiny_cfg()
     state = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -93,6 +95,7 @@ def test_magp_is_second_d_update():
     assert leaf_l2_delta(s_on.g_params, s_off.g_params) > 0
 
 
+@pytest.mark.slow
 def test_n_critic_two_updates_g_every_second_step():
     cfg = tiny_cfg(TRAIN={"N_CRITIC": 2, "MAGP": False})
     state = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -118,6 +121,7 @@ def test_proj_sent_gets_gradients_through_d_conditioning():
     assert float(jnp.sum(jnp.square(old - new))) > 0
 
 
+@pytest.mark.slow
 def test_spectral_state_refreshes():
     cfg = tiny_cfg(DISC={"SPEC_NORM": True}, TRAIN={"MAGP": False})
     state = create_train_state(cfg, jax.random.PRNGKey(0))

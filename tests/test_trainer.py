@@ -36,6 +36,7 @@ def run_dir(tmp_path_factory):
     return str(tmp_path_factory.mktemp("runs"))
 
 
+@pytest.mark.slow
 def test_trainer_synthetic_two_epochs(run_dir):
     cfg = tiny_cfg()
     tr = Trainer(
@@ -57,6 +58,7 @@ def test_trainer_synthetic_two_epochs(run_dir):
     assert int(tr.state.step) == 4  # 16 examples / bs 8 = 2 steps x 2 epochs
 
 
+@pytest.mark.slow  # resumes the checkpoints test_trainer_synthetic_two_epochs wrote
 def test_trainer_resume_bitwise(run_dir):
     cfg = tiny_cfg()
     tr = Trainer(
@@ -74,6 +76,7 @@ def test_trainer_resume_bitwise(run_dir):
     assert tr.state_epoch == 2 and int(tr.state.step) == 4
 
 
+@pytest.mark.slow
 def test_training_is_seed_deterministic(run_dir):
     """Two fresh trainers with the same seed produce bitwise-identical
     parameters after an epoch (stateless augmentation + seeded shuffles +
@@ -112,6 +115,7 @@ def test_auto_checkpoint_every_n_steps(run_dir):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_trainer_under_mesh(run_dir, eight_devices):
     from xmc_gan_tpu.parallel import make_mesh
 
@@ -126,6 +130,7 @@ def test_trainer_under_mesh(run_dir, eight_devices):
     assert metrics and all(np.isfinite(v) for v in metrics.values())
 
 
+@pytest.mark.slow
 def test_cli_train_smoke(run_dir, tmp_path):
     from xmc_gan_tpu import cli
 

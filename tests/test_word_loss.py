@@ -3,6 +3,7 @@ AttnGAN/DAMSM attentional score, mask invariance, and a full train step with
 ENCODER_LOSS.WORD enabled."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -132,6 +133,45 @@ def test_word_loss_streams_at_long_caption_shapes():
         assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
+def test_word_score_matches_torch_damsm_oracle():
+    """Cross-framework oracle: the DAMSM paper matching score (eqs. 7-10)
+    written independently in torch — per-pair loops, torch's own
+    softmax/cosine_similarity/logsumexp primitives, variable-length caption
+    slicing instead of masks.  Catches normalization-axis, masking, and
+    temperature bugs the vectorized NumPy transliteration could share."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    g1, g2, g3 = 4.0, 5.0, 10.0
+    rng = np.random.RandomState(7)
+    B, R, T, D = 6, 10, 9, 14
+    regions = rng.randn(B, R, D).astype(np.float32)
+    words = rng.randn(B, T, D).astype(np.float32)
+    lens = [9, 4, 7, 2, 5, 8]
+    mask = np.zeros((B, T), bool)
+    for i, L in enumerate(lens):
+        mask[i, L:] = True
+
+    score = torch.zeros(B, B)
+    tr = F.normalize(torch.from_numpy(regions), p=2, dim=-1)
+    tw = F.normalize(torch.from_numpy(words), p=2, dim=-1)
+    for i in range(B):  # image
+        for j in range(B):  # caption
+            e = tw[j, : lens[j]]  # [Tj, D]
+            v = tr[i]  # [R, D]
+            alpha = torch.softmax(g1 * (e @ v.T), dim=-1)  # attend regions
+            c = F.normalize(alpha @ v, p=2, dim=-1)
+            r = F.cosine_similarity(c, e, dim=-1)  # [Tj]
+            score[i, j] = torch.logsumexp(g2 * r, dim=0) / g2
+
+    got = losses.word_region_scores(
+        jnp.asarray(regions), jnp.asarray(words), jnp.asarray(mask), g1, g2
+    )
+    np.testing.assert_allclose(np.asarray(got), score.numpy(), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_train_step_with_word_loss():
     from xmc_gan_tpu.train import create_train_state, make_train_step
 

@@ -30,23 +30,27 @@ SBERT_MODEL = "sentence-transformers/stsb-roberta-base"
 __all__ = ["SbertCache", "build_sbert_cache", "make_hf_sbert_encode"]
 
 
-def make_hf_sbert_encode(cfg):
+def make_hf_sbert_encode(cfg, model_path: str | None = None):
     """HF Flax RoBERTa encode function: list[str] -> (token_embs, attn_mask).
 
-    Requires the model weights to be available locally/cached; raises a clear
-    error otherwise (this environment has no network egress)."""
+    ``model_path`` overrides the default hub id with a local checkpoint
+    directory (any RoBERTa-architecture save_pretrained dir works — parity is
+    tested against a tiny deterministic checkpoint in
+    ``tests/test_sbert_hf.py``).  Weights must be available locally; raises a
+    clear error otherwise (this environment has no network egress)."""
     try:
         from transformers import AutoTokenizer, FlaxRobertaModel
     except ImportError as e:  # pragma: no cover
         raise RuntimeError("transformers is required for SBERT encoding") from e
+    name = model_path or SBERT_MODEL
     try:
-        tokenizer = AutoTokenizer.from_pretrained(SBERT_MODEL)
-        model = FlaxRobertaModel.from_pretrained(SBERT_MODEL, from_pt=True)
+        tokenizer = AutoTokenizer.from_pretrained(name)
+        model = FlaxRobertaModel.from_pretrained(name, from_pt=True)
     except Exception as e:
         raise RuntimeError(
-            f"Could not load {SBERT_MODEL!r} weights locally. Download them on "
+            f"Could not load {name!r} weights locally. Download them on "
             "a machine with network access (huggingface-cli download "
-            f"{SBERT_MODEL}) or build the cache there and copy "
+            f"{name}) or build the cache there and copy "
             "sbert_cache_*.npz next to bert_captions.pickle."
         ) from e
 
@@ -71,11 +75,12 @@ def make_hf_sbert_encode(cfg):
 
 
 def build_sbert_cache(
-    data_dir: str, cfg, modes=("train", "test"), batch_size: int = 256
+    data_dir: str, cfg, modes=("train", "test"), batch_size: int = 256,
+    model_path: str | None = None,
 ) -> None:
     """Encode every caption in ``bert_captions.pickle`` and write the per-mode
     ``.npz`` caches (reference data format, ``dataset.py:119-127``)."""
-    encode = make_hf_sbert_encode(cfg)
+    encode = make_hf_sbert_encode(cfg, model_path=model_path)
     with open(os.path.join(data_dir, "bert_captions.pickle"), "rb") as f:
         train_sents, test_sents = pickle.load(f)[:2]
     per_mode = {"train": train_sents, "test": test_sents}

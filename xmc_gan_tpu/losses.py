@@ -180,6 +180,15 @@ def word_region_scores(
     (cosine between attention context and word) aggregate by log-sum-exp with
     ``gamma2``; padded words (``mask`` True) are excluded.
 
+    Formulation note: this follows the DAMSM *paper* equations (7)-(10) —
+    single gamma1-softmax over regions of the raw normalized similarities,
+    and the 1/gamma2 power on the log-sum-exp.  The official AttnGAN code
+    additionally pre-softmaxes the similarities over the word axis and drops
+    the 1/gamma2; the reference repo implements neither (its WORD branch
+    raises NotImplementedError, ``train_gan.py:220-222``), so the paper form
+    is the spec here.  Cross-checked against an independent torch oracle in
+    ``tests/test_word_loss.py``.
+
     Memory: the naive formulation materializes a ``[B, B, T, R]`` similarity
     tensor — 13 GB at the LN-COCO config — so when it would exceed
     ``block_elems`` f32 elements, captions stream through ``lax.scan`` in
