@@ -140,3 +140,4 @@ def test_seperate_mode_conditions_on_raw_sentence():
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     new_state, m = make_train_step(cfg)(state, synthetic_batch(cfg), jax.random.PRNGKey(1))
     assert bool(jnp.isfinite(m["Loss_D"]))
+
