@@ -203,3 +203,27 @@ def test_train_step_with_word_loss():
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, v)
     assert float(metrics["ds_word"]) > 0 and float(metrics["gs_word"]) > 0
+
+
+def test_word_scores_bf16_compute_close_to_f32():
+    """compute_dtype=bf16 runs the pairwise einsums at the MXU bf16 rate with
+    f32 accumulation; scores must stay close to the f32 path (inputs are
+    l2-normalized, so bf16 operand rounding is benign)."""
+    rng = np.random.RandomState(11)
+    B, R, T, D = 6, 12, 17, 24
+    regions = jnp.asarray(rng.randn(B, R, D), jnp.float32)
+    words = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    mask = jnp.asarray(rng.rand(B, T) > 0.6)
+
+    f32 = losses.word_region_scores(regions, words, mask)
+    bf16 = losses.word_region_scores(
+        regions, words, mask, compute_dtype=jnp.bfloat16
+    )
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32), atol=2e-2)
+
+    # and through the loss + blocking path
+    labels = jnp.eye(B)
+    a = losses.word_loss(regions, words, mask, labels, False, 0.5,
+                         compute_dtype=jnp.bfloat16, block_elems=2 * T * R)
+    b = losses.word_loss(regions, words, mask, labels, False, 0.5)
+    np.testing.assert_allclose(float(a), float(b), atol=5e-2)

@@ -171,6 +171,7 @@ def word_region_scores(
     gamma1: float = 4.0,
     gamma2: float = 5.0,
     block_elems: int | None = WORD_LOSS_BLOCK_ELEMS,
+    compute_dtype=None,
 ) -> Array:
     """Pairwise attentional word-region matching scores ``[B_img, B_cap]``.
 
@@ -199,19 +200,34 @@ def word_region_scores(
     softmax crosses.
 
     ``region_feats``: [B, R, D]; ``words_embs``: [Bc, T, D]; ``mask``: [Bc, T].
+    ``compute_dtype``: operand dtype for the three pairwise einsums (e.g.
+    ``jnp.bfloat16`` to run them at the MXU's bf16 rate — accumulation stays
+    float32, as do the normalize/softmax/log-sum-exp reductions).  None keeps
+    full float32 operands.
     """
     r = l2_normalize(region_feats.astype(jnp.float32), axis=-1)  # [B, R, D]
     w = l2_normalize(words_embs.astype(jnp.float32), axis=-1)  # [Bc, T, D]
     b, r_regions, d = r.shape
     bc, t, _ = w.shape
+    cd = compute_dtype or jnp.float32
 
     def block(wb: Array, mb: Array) -> Array:
         # wb: [C, T, D] caption block; mb: [C, T] -> scores [B_img, C]
-        sim = jnp.einsum("ctd,ird->ictr", wb, r)  # word -> region similarity
+        rc = r.astype(cd)
+        wc = wb.astype(cd)
+        sim = jnp.einsum(  # word -> region similarity
+            "ctd,ird->ictr", wc, rc, preferred_element_type=jnp.float32
+        )
         attn = jax.nn.softmax(gamma1 * sim, axis=-1)
-        ctx = jnp.einsum("ictr,ird->ictd", attn, r)  # region context per word
+        ctx = jnp.einsum(  # region context per word
+            "ictr,ird->ictd", attn.astype(cd), rc,
+            preferred_element_type=jnp.float32,
+        )
         ctx = l2_normalize(ctx, axis=-1)
-        rel = jnp.einsum("ictd,ctd->ict", ctx, wb)  # cosine(context, word)
+        rel = jnp.einsum(  # cosine(context, word)
+            "ictd,ctd->ict", ctx.astype(cd), wc,
+            preferred_element_type=jnp.float32,
+        )
         neg = jnp.asarray(-1e30, jnp.float32)
         rel = jnp.where(mb[None, :, :], neg, gamma2 * rel)
         return jax.nn.logsumexp(rel, axis=-1) / gamma2  # [B_img, C]
@@ -243,6 +259,7 @@ def word_loss(
     gamma2: float = 5.0,
     gamma3: float = 10.0,
     block_elems: int | None = WORD_LOSS_BLOCK_ELEMS,
+    compute_dtype=None,
 ) -> Array:
     """Word-region attentional contrastive loss (XMC-GAN's third objective).
 
@@ -258,7 +275,8 @@ def word_loss(
     """
     num_pos = contrastive_num_pos(labels, b_global, smooth_global)
     score = word_region_scores(
-        region_feats, words_embs, mask, gamma1, gamma2, block_elems
+        region_feats, words_embs, mask, gamma1, gamma2, block_elems,
+        compute_dtype,
     )
     return _symmetric_info_nce(gamma3 * score, labels, num_pos)
 

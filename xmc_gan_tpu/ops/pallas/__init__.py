@@ -1,7 +1,11 @@
 """Pallas TPU kernels for the framework's hot ops.
 
-Kernels here are optional accelerations behind stable jnp-fallback seams:
-``fused_affine`` (modulation epilogues, seam in ``ops/fused.py``) and
-``cross_attention`` (blockwise masked word attention for long captions,
-seam in ``ops.pallas.cross_attention.masked_cross_attention``).
+``cross_attention`` — blockwise masked word attention for long captions
+(online-softmax, forward-only; public seam
+``masked_cross_attention(backend=...)`` with a jnp fallback off-TPU).
+
+``fused_affine`` — modulation-epilogue kernel kept as a documented
+experiment: standalone 1.32x vs the unfused XLA epilogue, but no in-step win
+because XLA fuses the pattern into the producing convs (BASELINE.md);
+production code uses the plain-jnp ``ops/fused.py``.
 """

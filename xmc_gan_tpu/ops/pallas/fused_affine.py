@@ -2,11 +2,14 @@
 
 ``leaky_relu(gamma * x + beta)`` over NHWC activations with per-(batch,
 channel) modulation — the generator's most frequent elementwise pattern
-(reference ``df_gan.py:250-263``; 4 occurrences per G block).  XLA usually
-fuses this into the producer conv; this kernel exists for the cases where the
-producer is a reshape/upsample boundary that breaks fusion, and as the
-measured alternative backend for ``ops/fused.py``'s seam (the faster backend
-per shape wins — see bench notes there).
+(reference ``df_gan.py:250-263``; 4 occurrences per G block).
+
+Status: **documented experiment, not a production backend.**  Standalone it
+beats the unfused XLA epilogue 1.32x (v5e, bf16), but inside the full train
+step XLA fuses the modulation into the producing convs and the kernel showed
+no in-step win (BASELINE.md), so ``ops/fused.py`` ships the plain-jnp form
+and this kernel is kept with its parity tests as the reference Pallas
+implementation of the pattern.
 
 Grid: one program per (batch, spatial tile).  The channel axis is kept whole
 (last-dim lanes); spatial rows tile in chunks of ``TILE_HW`` sublanes.

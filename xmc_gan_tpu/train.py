@@ -162,6 +162,10 @@ def make_train_step(
             "train_gan.py:281)"
         )
 
+    # bf16 training runs the word-loss pairwise einsums at the MXU bf16 rate
+    # (f32 accumulation/reductions inside; see losses.word_region_scores)
+    word_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else None
+
     def g_apply(g_params, noise, sent, words, mask):
         return g_model.apply({"params": g_params}, noise, sent, words, mask)
 
@@ -244,6 +248,7 @@ def make_train_step(
                 ds_word = losses.word_loss(
                     regions_real, words, mask, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL,
                     t.SMOOTH.GAMMA1, t.SMOOTH.GAMMA2, t.SMOOTH.GAMMA3,
+                    compute_dtype=word_dtype,
                 )
                 enc_loss = enc_loss + t.SMOOTH.WORD * ds_word
 
@@ -303,6 +308,7 @@ def make_train_step(
                     gs_word = losses.word_loss(
                         regions_fake, words, mask, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL,
                         t.SMOOTH.GAMMA1, t.SMOOTH.GAMMA2, t.SMOOTH.GAMMA3,
+                        compute_dtype=word_dtype,
                     )
                     enc_loss = enc_loss + t.SMOOTH.WORD * gs_word
                 if el.DISC:
