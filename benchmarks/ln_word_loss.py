@@ -5,7 +5,9 @@ Validates VERDICT/SURVEY's LN north-star point on the real chip: the blockwise
 MAX_LENGTH=200, R=256 regions, SBERT D=768) fits on a 16 GB chip — the naive
 [B, B, T, R] formulation is ~13 GB for one intermediate and cannot.
 
-Run: ``python benchmarks/ln_word_loss.py [f32|bf16]`` (einsum operand dtype).  Measured 2026-08-16 on 1x TPU
+Run: ``python benchmarks/ln_word_loss.py [f32|bf16] [xla|pallas]``
+(einsum operand dtype; backend default = auto, which picks the fused Pallas
+kernel on TPU at blocking scale).  Measured 2026-08-16 on 1x TPU
 v5 lite (axon tunnel): value+grad ≈ 0.94 s/steady call at full LN shape.
 Timing note: under the tunnel, only host fetches force completion
 (block_until_ready is a no-op) — hence the ``float(...)`` fetches.
@@ -38,9 +40,11 @@ def main() -> None:
     cd = {"bf16": jnp.bfloat16, "f32": None}[
         sys.argv[1] if len(sys.argv) > 1 else "f32"
     ]
+    backend = sys.argv[2] if len(sys.argv) > 2 else None  # xla | pallas | auto
 
     def f(r, w):
-        return losses.word_loss(r, w, mask, labels, True, 0.0, compute_dtype=cd)
+        return losses.word_loss(r, w, mask, labels, True, 0.0, compute_dtype=cd,
+                                backend=backend)
 
     vg = jax.jit(jax.value_and_grad(f, argnums=(0, 1)))
     t0 = time.time()

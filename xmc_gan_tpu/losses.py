@@ -172,6 +172,8 @@ def word_region_scores(
     gamma2: float = 5.0,
     block_elems: int | None = WORD_LOSS_BLOCK_ELEMS,
     compute_dtype=None,
+    backend: str | None = None,
+    interpret: bool = False,
 ) -> Array:
     """Pairwise attentional word-region matching scores ``[B_img, B_cap]``.
 
@@ -205,10 +207,23 @@ def word_region_scores(
     float32, as do the normalize/softmax/log-sum-exp reductions).  None keeps
     full float32 operands.
     """
+    b, r_regions, d = region_feats.shape
+    bc, t, _ = words_embs.shape
+    big = block_elems is not None and b * bc * t * r_regions > block_elems
+    if backend is None:
+        # the fused kernel wins exactly where blocking would kick in: it keeps
+        # each pair's intermediates in VMEM instead of streaming them via HBM
+        backend = "pallas" if (big and jax.default_backend() == "tpu") else "xla"
+    if backend == "pallas":
+        from xmc_gan_tpu.ops.pallas.damsm_score import damsm_scores
+
+        return damsm_scores(
+            region_feats, words_embs, mask, gamma1, gamma2,
+            compute_dtype=compute_dtype, interpret=interpret,
+        )
+
     r = l2_normalize(region_feats.astype(jnp.float32), axis=-1)  # [B, R, D]
     w = l2_normalize(words_embs.astype(jnp.float32), axis=-1)  # [Bc, T, D]
-    b, r_regions, d = r.shape
-    bc, t, _ = w.shape
     cd = compute_dtype or jnp.float32
 
     def block(wb: Array, mb: Array) -> Array:
@@ -260,6 +275,8 @@ def word_loss(
     gamma3: float = 10.0,
     block_elems: int | None = WORD_LOSS_BLOCK_ELEMS,
     compute_dtype=None,
+    backend: str | None = None,
+    interpret: bool = False,
 ) -> Array:
     """Word-region attentional contrastive loss (XMC-GAN's third objective).
 
@@ -276,7 +293,7 @@ def word_loss(
     num_pos = contrastive_num_pos(labels, b_global, smooth_global)
     score = word_region_scores(
         region_feats, words_embs, mask, gamma1, gamma2, block_elems,
-        compute_dtype,
+        compute_dtype, backend, interpret,
     )
     return _symmetric_info_nce(gamma3 * score, labels, num_pos)
 

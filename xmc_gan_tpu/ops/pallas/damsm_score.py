@@ -1,0 +1,328 @@
+"""Fused Pallas kernel for the pairwise word-region (DAMSM) matching score.
+
+The LN-scale word loss (``losses.word_region_scores``; spec at
+``losses.py`` — DAMSM paper eqs. 7-10, reference anchor
+``/root/reference/xmc_gan/model/concept_gan.py:516-580`` for the masked
+attention pattern) computes, for every (image i, caption j) pair::
+
+    sim  = w_j @ r_i^T                     # [T, R] word-region cosines
+    a    = softmax_R(gamma1 * sim)
+    c    = a @ r_i ; c_hat = c / ||c||     # per-word region context
+    rel  = rowsum(c_hat * w_j)             # [T]
+    out  = logsumexp_T(gamma2 * rel[valid]) / gamma2
+
+The XLA streaming path materializes per-block [B, C, T, R] and [B, C, T, D]
+tensors in HBM (with rematerialization on the backward) and is
+bandwidth-bound — ~0.94 s/call at the LN-COCO shape.  This kernel computes
+each (image, caption-block) pair entirely in VMEM: HBM traffic is just the
+operands and the [B, Bc] score matrix, and the MXU runs the four
+[T,D]x[D,R]-shaped dots back to back.
+
+Three kernels: forward, backward-to-regions (accumulates over captions with
+the grid's inner axis revisiting the per-image output block), and
+backward-to-words (grid transposed so the per-caption output block is
+resident while images stream).  ``damsm_scores`` wires them into a
+``jax.custom_vjp``; l2-normalization of the raw inputs and its backward stay
+in XLA (cheap, elementwise).  Numerics: f32 throughout VMEM; the MXU dots
+optionally take bf16 operands with f32 accumulation (``compute_dtype``),
+matching the XLA path's option.
+
+Padded words use the same -1e30 masking constant as the XLA path, so values
+(and the all-padded-caption edge case) agree exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+__all__ = ["damsm_scores", "damsm_scores_reference"]
+
+NEG = -1e30
+CAPTION_BLOCK = 4  # captions per grid step; bounds VMEM to ~10 MB at LN shape
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_axis(x: Array, axis: int, to: int, value=0.0) -> Array:
+    pad = to - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _pair_core(w, r, gamma1, cd, real_r):
+    """Shared forward math for one caption against one image's regions.
+
+    w: [T, D] normalized words; r: [Rp, D] normalized regions (rows past the
+    real R are zero).  Returns (sim, a, c_hat, inv_norm, rel).
+    """
+    sim = jax.lax.dot_general(
+        w.astype(cd), r.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, Rp]
+    # zero-padded region rows give sim == 0; exp(gamma1*0)=1 would leak
+    # attention mass, so mask them out before the softmax
+    col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    sim = jnp.where(col < real_r, sim, NEG)
+    m = jnp.max(sim, axis=1, keepdims=True)
+    e = jnp.exp(gamma1 * (sim - m))  # rescale by max: stable softmax
+    a = e / jnp.sum(e, axis=1, keepdims=True)  # [T, Rp]
+    c = jax.lax.dot_general(
+        a.astype(cd), r.astype(cd), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, D]
+    inv_norm = jax.lax.rsqrt(jnp.sum(c * c, axis=1, keepdims=True) + 1e-24)
+    c_hat = c * inv_norm
+    rel = jnp.sum(c_hat * w, axis=1, keepdims=True)  # [T, 1]
+    return sim, a, c_hat, inv_norm, rel
+
+
+def _fwd_kernel(r_ref, w_ref, mpad_ref, out_ref, *, gamma1, gamma2,
+                real_r, real_t, cj, cd):
+    j = pl.program_id(1)
+    r = r_ref[0]  # [Rp, D]
+    for c in range(cj):
+        w = w_ref[c]  # [T, D]
+        _, _, _, _, rel = _pair_core(w, r, gamma1, cd, real_r)
+        pad = mpad_ref[c, :].reshape(-1, 1) > 0.5  # [T, 1] True = padding
+        relv = jnp.where(pad, NEG, gamma2 * rel)
+        m = jnp.max(relv)
+        s = m + jnp.log(jnp.sum(jnp.exp(relv - m)))
+        out_ref[0, j * cj + c] = s / gamma2
+
+
+def _softmax_t(relv):
+    """softmax over the (masked) word axis of gamma2*rel values [T, 1]."""
+    m = jnp.max(relv)
+    e = jnp.exp(relv - m)
+    return e / jnp.sum(e)
+
+
+def _pair_backward(w, r, pad, g_ij, gamma1, gamma2, cd, real_r):
+    """d(score_ij)/d(w), d(score_ij)/d(r) given upstream scalar g_ij.
+
+    Recomputes the forward in VMEM; returns (d_w [T, D], d_r [Rp, D])."""
+    sim, a, c_hat, inv_norm, rel = _pair_core(w, r, gamma1, cd, real_r)
+    relv = jnp.where(pad, NEG, gamma2 * rel)
+    p = _softmax_t(relv)  # [T, 1] d(out)/d(rel)
+    d_rel = g_ij * p  # [T, 1]
+    d_chat = d_rel * w  # [T, D]
+    d_w = d_rel * c_hat
+    # normalize backward: d_c = (d_chat - c_hat * <c_hat, d_chat>) * inv_norm
+    inner = jnp.sum(c_hat * d_chat, axis=1, keepdims=True)
+    d_c = (d_chat - c_hat * inner) * inv_norm  # [T, D]
+    d_a = jax.lax.dot_general(
+        d_c.astype(cd), r.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, Rp]
+    # softmax backward (temperature gamma1)
+    ad = a * d_a
+    d_sim = gamma1 * (ad - a * jnp.sum(ad, axis=1, keepdims=True))  # [T, Rp]
+    d_w = d_w + jax.lax.dot_general(
+        d_sim.astype(cd), r.astype(cd), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d_r = jax.lax.dot_general(
+        a.astype(cd), d_c.astype(cd), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        d_sim.astype(cd), w.astype(cd), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Rp, D]
+    return d_w, d_r
+
+
+def _bwd_dr_kernel(r_ref, w_ref, mpad_ref, g_ref, dr_ref, *, gamma1, gamma2,
+                   real_r, real_t, cj, cd):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dr_ref[0] = jnp.zeros_like(dr_ref[0])
+
+    r = r_ref[0]
+    acc = jnp.zeros_like(dr_ref[0])
+    for c in range(cj):
+        w = w_ref[c]
+        pad = mpad_ref[c, :].reshape(-1, 1) > 0.5
+        g_ij = g_ref[0, j * cj + c]
+        _, d_r = _pair_backward(w, r, pad, g_ij, gamma1, gamma2, cd, real_r)
+        acc = acc + d_r
+    dr_ref[0] = dr_ref[0] + acc
+
+
+def _bwd_dw_kernel(w_ref, mpad_ref, r_ref, g_ref, dw_ref, *, gamma1, gamma2,
+                   real_r, real_t, cj, cd):
+    j, i = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref[:])
+
+    r = r_ref[0]
+    for c in range(cj):
+        w = w_ref[c]
+        pad = mpad_ref[c, :].reshape(-1, 1) > 0.5
+        g_ij = g_ref[i, j * cj + c]
+        d_w, _ = _pair_backward(w, r, pad, g_ij, gamma1, gamma2, cd, real_r)
+        dw_ref[c] = dw_ref[c] + d_w
+
+
+def _prep(regions: Array, words: Array, mask_f: Array):
+    """l2-normalize (XLA side) and pad to kernel-friendly shapes."""
+    def norm(x):
+        x = x.astype(jnp.float32)
+        return x * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), 1e-24)
+        )
+
+    r = norm(regions)
+    w = norm(words)
+    b, rr, d = r.shape
+    bc, t, _ = w.shape
+    rp = _round_up(rr, 128)
+    tp = _round_up(t, 8)
+    dp = _round_up(d, 128)
+    cjp = _round_up(bc, CAPTION_BLOCK)
+    r = _pad_axis(_pad_axis(r, 1, rp), 2, dp)
+    w = _pad_axis(_pad_axis(_pad_axis(w, 1, tp), 2, dp), 0, cjp)
+    # padded words / padded captions are marked padding so they never count
+    mp = _pad_axis(_pad_axis(mask_f.astype(jnp.float32), 1, tp, 1.0), 0, cjp, 1.0)
+    return r, w, mp, (b, rr, d, bc, t, rp, tp, dp, cjp)
+
+
+def _fwd_impl(regions, words, mask_f, gamma1, gamma2, cd, interpret):
+    r, w, mp, (b, rr, d, bc, t, rp, tp, dp, cjp) = _prep(regions, words, mask_f)
+    jb = cjp // CAPTION_BLOCK
+    kern = functools.partial(
+        _fwd_kernel, gamma1=gamma1, gamma2=gamma2, real_r=rr, real_t=t,
+        cj=CAPTION_BLOCK, cd=cd,
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, cjp), jnp.float32),
+        grid=(b, jb),
+        in_specs=[
+            pl.BlockSpec((1, rp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CAPTION_BLOCK, tp, dp), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CAPTION_BLOCK, tp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cjp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(r, w, mp)
+    return out[:, :bc]
+
+
+def _bwd_impl(regions, words, mask_f, g, gamma1, gamma2, cd, interpret):
+    r, w, mp, (b, rr, d, bc, t, rp, tp, dp, cjp) = _prep(regions, words, mask_f)
+    jb = cjp // CAPTION_BLOCK
+    gp = _pad_axis(g.astype(jnp.float32), 1, cjp)
+
+    dr_kern = functools.partial(
+        _bwd_dr_kernel, gamma1=gamma1, gamma2=gamma2, real_r=rr, real_t=t,
+        cj=CAPTION_BLOCK, cd=cd,
+    )
+    d_rn = pl.pallas_call(
+        dr_kern,
+        out_shape=jax.ShapeDtypeStruct((b, rp, dp), jnp.float32),
+        grid=(b, jb),
+        in_specs=[
+            pl.BlockSpec((1, rp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CAPTION_BLOCK, tp, dp), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CAPTION_BLOCK, tp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cjp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(r, w, mp, gp)[:, :rr, :d]
+
+    dw_kern = functools.partial(
+        _bwd_dw_kernel, gamma1=gamma1, gamma2=gamma2, real_r=rr, real_t=t,
+        cj=CAPTION_BLOCK, cd=cd,
+    )
+    d_wn = pl.pallas_call(
+        dw_kern,
+        out_shape=jax.ShapeDtypeStruct((cjp, tp, dp), jnp.float32),
+        grid=(jb, b),
+        in_specs=[
+            pl.BlockSpec((CAPTION_BLOCK, tp, dp), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CAPTION_BLOCK, tp), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp, dp), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # g whole [B, cjp]
+        ],
+        out_specs=pl.BlockSpec((CAPTION_BLOCK, tp, dp), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(w, mp, r, gp)[:bc, :t, :d]
+
+    # backward through the l2 normalizations (XLA, elementwise per vector)
+    def norm_bwd(raw, d_n):
+        raw = raw.astype(jnp.float32)
+        nsq = jnp.maximum(jnp.sum(raw * raw, axis=-1, keepdims=True), 1e-24)
+        inv = jax.lax.rsqrt(nsq)
+        n_hat = raw * inv
+        inner = jnp.sum(n_hat * d_n, axis=-1, keepdims=True)
+        return (d_n - n_hat * inner) * inv
+
+    return norm_bwd(regions, d_rn), norm_bwd(words, d_wn)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_damsm(gamma1: float, gamma2: float, use_bf16: bool, interpret: bool):
+    cd = jnp.bfloat16 if use_bf16 else jnp.float32
+
+    @jax.custom_vjp
+    def scores(regions, words, mask_f):
+        return _fwd_impl(regions, words, mask_f, gamma1, gamma2, cd, interpret)
+
+    def fwd(regions, words, mask_f):
+        return scores(regions, words, mask_f), (regions, words, mask_f)
+
+    def bwd(res, g):
+        regions, words, mask_f = res
+        d_r, d_w = _bwd_impl(regions, words, mask_f, g, gamma1, gamma2, cd, interpret)
+        return d_r, d_w, jnp.zeros_like(mask_f)
+
+    scores.defvjp(fwd, bwd)
+    return scores
+
+
+def damsm_scores(
+    regions: Array,
+    words: Array,
+    mask: Array,
+    gamma1: float = 4.0,
+    gamma2: float = 5.0,
+    compute_dtype=None,
+    interpret: bool = False,
+) -> Array:
+    """Pairwise DAMSM matching scores [B_img, B_cap], fused on TPU.
+
+    ``mask``: [Bc, T] with True = padded word.  Differentiable w.r.t.
+    ``regions`` and ``words`` via the custom VJP kernels above; numerics match
+    ``losses.word_region_scores`` (tested in ``tests/test_pallas_ops.py``).
+    """
+    fn = _make_damsm(
+        float(gamma1), float(gamma2),
+        compute_dtype == jnp.bfloat16, bool(interpret),
+    )
+    return fn(regions, words, mask.astype(jnp.float32))
+
+
+def damsm_scores_reference(regions, words, mask, gamma1=4.0, gamma2=5.0):
+    """jnp reference (identical math, materialized) for tests."""
+    from xmc_gan_tpu.losses import word_region_scores
+
+    return word_region_scores(
+        regions, words, mask, gamma1, gamma2, block_elems=None
+    )
