@@ -45,7 +45,17 @@ Array = jax.Array
 __all__ = ["damsm_scores", "damsm_scores_reference"]
 
 NEG = -1e30
-CAPTION_BLOCK = 4  # captions per grid step; bounds VMEM to ~10 MB at LN shape
+# Captions per grid step, bounded by the 16 MB VMEM: at the LN shape
+# (T=200, D=768) a caption costs ~0.6 MB (bf16 operands) or ~1.2 MB (f32)
+# double-buffered, and the d_words kernel additionally holds an f32
+# [cb, T, D] output block resident.
+def _caption_blocks(cd):
+    if cd == jnp.bfloat16:
+        return 8, 4  # (forward / d_regions, d_words)
+    return 4, 4
+
+
+CAPTION_BLOCK = 8  # padding granularity for the caption axis (lcm of blocks)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -84,7 +94,7 @@ def _pair_core(w, r, gamma1, cd, real_r):
     )  # [T, D]
     inv_norm = jax.lax.rsqrt(jnp.sum(c * c, axis=1, keepdims=True) + 1e-24)
     c_hat = c * inv_norm
-    rel = jnp.sum(c_hat * w, axis=1, keepdims=True)  # [T, 1]
+    rel = jnp.sum(c_hat * w.astype(jnp.float32), axis=1, keepdims=True)  # [T, 1]
     return sim, a, c_hat, inv_norm, rel
 
 
@@ -92,14 +102,24 @@ def _fwd_kernel(r_ref, w_ref, mpad_ref, out_ref, *, gamma1, gamma2,
                 real_r, real_t, cj, cd):
     j = pl.program_id(1)
     r = r_ref[0]  # [Rp, D]
+    cjp = out_ref.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, cjp), 1)
+    row = jnp.zeros((1, cjp), jnp.float32)
     for c in range(cj):
         w = w_ref[c]  # [T, D]
         _, _, _, _, rel = _pair_core(w, r, gamma1, cd, real_r)
-        pad = mpad_ref[c, :].reshape(-1, 1) > 0.5  # [T, 1] True = padding
+        pad = mpad_ref[c, 0, :].reshape(-1, 1) > 0.5  # [T, 1] True = padding
         relv = jnp.where(pad, NEG, gamma2 * rel)
         m = jnp.max(relv)
         s = m + jnp.log(jnp.sum(jnp.exp(relv - m)))
-        out_ref[0, j * cj + c] = s / gamma2
+        # scalar stores to VMEM are unsupported: place s via a masked row add
+        row = row + jnp.where(col == j * cj + c, s / gamma2, 0.0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] = out_ref[0] + row
 
 
 def _softmax_t(relv):
@@ -117,7 +137,7 @@ def _pair_backward(w, r, pad, g_ij, gamma1, gamma2, cd, real_r):
     relv = jnp.where(pad, NEG, gamma2 * rel)
     p = _softmax_t(relv)  # [T, 1] d(out)/d(rel)
     d_rel = g_ij * p  # [T, 1]
-    d_chat = d_rel * w  # [T, D]
+    d_chat = d_rel * w.astype(jnp.float32)  # [T, D]
     d_w = d_rel * c_hat
     # normalize backward: d_c = (d_chat - c_hat * <c_hat, d_chat>) * inv_norm
     inner = jnp.sum(c_hat * d_chat, axis=1, keepdims=True)
@@ -155,8 +175,8 @@ def _bwd_dr_kernel(r_ref, w_ref, mpad_ref, g_ref, dr_ref, *, gamma1, gamma2,
     acc = jnp.zeros_like(dr_ref[0])
     for c in range(cj):
         w = w_ref[c]
-        pad = mpad_ref[c, :].reshape(-1, 1) > 0.5
-        g_ij = g_ref[0, j * cj + c]
+        pad = mpad_ref[c, 0, :].reshape(-1, 1) > 0.5
+        g_ij = g_ref[0, 0, j * cj + c]
         _, d_r = _pair_backward(w, r, pad, g_ij, gamma1, gamma2, cd, real_r)
         acc = acc + d_r
     dr_ref[0] = dr_ref[0] + acc
@@ -173,22 +193,24 @@ def _bwd_dw_kernel(w_ref, mpad_ref, r_ref, g_ref, dw_ref, *, gamma1, gamma2,
     r = r_ref[0]
     for c in range(cj):
         w = w_ref[c]
-        pad = mpad_ref[c, :].reshape(-1, 1) > 0.5
-        g_ij = g_ref[i, j * cj + c]
+        pad = mpad_ref[c, 0, :].reshape(-1, 1) > 0.5
+        g_ij = g_ref[c, 0, i]
         d_w, _ = _pair_backward(w, r, pad, g_ij, gamma1, gamma2, cd, real_r)
         dw_ref[c] = dw_ref[c] + d_w
 
 
-def _prep(regions: Array, words: Array, mask_f: Array):
-    """l2-normalize (XLA side) and pad to kernel-friendly shapes."""
+def _prep(regions: Array, words: Array, mask_f: Array, cd):
+    """l2-normalize (XLA side), pad to kernel-friendly shapes, and store the
+    operand arrays in the compute dtype (halves the per-pair DMA at bf16 —
+    reductions inside the kernels stay f32)."""
     def norm(x):
         x = x.astype(jnp.float32)
         return x * jax.lax.rsqrt(
             jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), 1e-24)
         )
 
-    r = norm(regions)
-    w = norm(words)
+    r = norm(regions).astype(cd)
+    w = norm(words).astype(cd)
     b, rr, d = r.shape
     bc, t, _ = w.shape
     rp = _round_up(rr, 128)
@@ -199,39 +221,43 @@ def _prep(regions: Array, words: Array, mask_f: Array):
     w = _pad_axis(_pad_axis(_pad_axis(w, 1, tp), 2, dp), 0, cjp)
     # padded words / padded captions are marked padding so they never count
     mp = _pad_axis(_pad_axis(mask_f.astype(jnp.float32), 1, tp, 1.0), 0, cjp, 1.0)
+    mp = mp[:, None, :]  # [cjp, 1, tp]: block dims (1, tp) satisfy tiling rules
     return r, w, mp, (b, rr, d, bc, t, rp, tp, dp, cjp)
 
 
 def _fwd_impl(regions, words, mask_f, gamma1, gamma2, cd, interpret):
-    r, w, mp, (b, rr, d, bc, t, rp, tp, dp, cjp) = _prep(regions, words, mask_f)
-    jb = cjp // CAPTION_BLOCK
+    r, w, mp, (b, rr, d, bc, t, rp, tp, dp, cjp) = _prep(regions, words, mask_f, cd)
+    cb, _ = _caption_blocks(cd)
+    jb = cjp // cb
     kern = functools.partial(
         _fwd_kernel, gamma1=gamma1, gamma2=gamma2, real_r=rr, real_t=t,
-        cj=CAPTION_BLOCK, cd=cd,
+        cj=cb, cd=cd,
     )
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((b, cjp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, cjp), jnp.float32),
         grid=(b, jb),
         in_specs=[
             pl.BlockSpec((1, rp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CAPTION_BLOCK, tp, dp), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CAPTION_BLOCK, tp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, tp, dp), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 1, tp), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, cjp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, cjp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(r, w, mp)
-    return out[:, :bc]
+    return out[:, 0, :bc]
 
 
 def _bwd_impl(regions, words, mask_f, g, gamma1, gamma2, cd, interpret):
-    r, w, mp, (b, rr, d, bc, t, rp, tp, dp, cjp) = _prep(regions, words, mask_f)
-    jb = cjp // CAPTION_BLOCK
+    r, w, mp, (b, rr, d, bc, t, rp, tp, dp, cjp) = _prep(regions, words, mask_f, cd)
+    cb, cb_dw = _caption_blocks(cd)
+    jb = cjp // cb
     gp = _pad_axis(g.astype(jnp.float32), 1, cjp)
+    gp3 = gp[:, None, :]  # [b, 1, cjp] for per-image blocking
 
     dr_kern = functools.partial(
         _bwd_dr_kernel, gamma1=gamma1, gamma2=gamma2, real_r=rr, real_t=t,
-        cj=CAPTION_BLOCK, cd=cd,
+        cj=cb, cd=cd,
     )
     d_rn = pl.pallas_call(
         dr_kern,
@@ -239,31 +265,34 @@ def _bwd_impl(regions, words, mask_f, g, gamma1, gamma2, cd, interpret):
         grid=(b, jb),
         in_specs=[
             pl.BlockSpec((1, rp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CAPTION_BLOCK, tp, dp), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CAPTION_BLOCK, tp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cjp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, tp, dp), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 1, tp), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cjp), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, rp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(r, w, mp, gp)[:, :rr, :d]
+    )(r, w, mp, gp3)[:, :rr, :d]
 
+    jb_dw = cjp // cb_dw
     dw_kern = functools.partial(
         _bwd_dw_kernel, gamma1=gamma1, gamma2=gamma2, real_r=rr, real_t=t,
-        cj=CAPTION_BLOCK, cd=cd,
+        cj=cb_dw, cd=cd,
     )
     d_wn = pl.pallas_call(
         dw_kern,
         out_shape=jax.ShapeDtypeStruct((cjp, tp, dp), jnp.float32),
-        grid=(jb, b),
+        grid=(jb_dw, b),
         in_specs=[
-            pl.BlockSpec((CAPTION_BLOCK, tp, dp), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CAPTION_BLOCK, tp), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb_dw, tp, dp), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb_dw, 1, tp), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rp, dp), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # g whole [B, cjp]
+            # g transposed: this j's caption rows, all images — SMEM so the
+            # kernel can read per-pair scalars
+            pl.BlockSpec((cb_dw, 1, b), lambda j, i: (j, 0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((CAPTION_BLOCK, tp, dp), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((cb_dw, tp, dp), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(w, mp, r, gp)[:bc, :t, :d]
+    )(w, mp, r, gp.T[:, None, :])[:bc, :t, :d]
 
     # backward through the l2 normalizations (XLA, elementwise per vector)
     def norm_bwd(raw, d_n):
@@ -291,7 +320,9 @@ def _make_damsm(gamma1: float, gamma2: float, use_bf16: bool, interpret: bool):
     def bwd(res, g):
         regions, words, mask_f = res
         d_r, d_w = _bwd_impl(regions, words, mask_f, g, gamma1, gamma2, cd, interpret)
-        return d_r, d_w, jnp.zeros_like(mask_f)
+        # cotangents must carry the primal dtypes (e.g. bf16 trunk features)
+        return (d_r.astype(regions.dtype), d_w.astype(words.dtype),
+                jnp.zeros_like(mask_f))
 
     scores.defvjp(fwd, bwd)
     return scores
