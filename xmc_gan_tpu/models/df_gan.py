@@ -305,9 +305,11 @@ class NetD(nn.Module):
         # reference's ENCODER_LOSS.WORD raises NotImplementedError,
         # train_gan.py:220-222; this powers losses.word_loss).
         self.uses_word_loss = cfg.TRAIN.ENCODER_LOSS.WORD
-        # stage whose *output* sits at resolution 16 (arch resolutions are the
-        # per-stage output resolutions, index 0 = conv_img stage)
-        self._region_stage = arch["resolution"].index(16)
+        # stage whose *output* sits at 16x16 -> R = 256 regions.  The arch
+        # table's resolution entries are block *input* resolutions (verified
+        # against the actual trunk: entry "16" is the block that maps
+        # 32x32 -> 16x16), hence the +1.
+        self._region_stage = arch["resolution"].index(16) + 1
         if self.uses_word_loss:
             kr, br = inits(he, arch["out_channels"][self._region_stage])
             self.region_proj = SNConv(

@@ -45,17 +45,40 @@ Array = jax.Array
 __all__ = ["damsm_scores", "damsm_scores_reference"]
 
 NEG = -1e30
-# Captions per grid step, bounded by the 16 MB VMEM: at the LN shape
-# (T=200, D=768) a caption costs ~0.6 MB (bf16 operands) or ~1.2 MB (f32)
-# double-buffered, and the d_words kernel additionally holds an f32
-# [cb, T, D] output block resident.
-def _caption_blocks(cd):
-    if cd == jnp.bfloat16:
-        return 8, 4  # (forward / d_regions, d_words)
-    return 4, 4
+CAPTION_BLOCK = 8  # padding granularity for the caption axis (max block)
+
+# VMEM byte budget per kernel: the hardware limit is 16 MB; leave headroom
+# for Mosaic temporaries beyond the modeled stack values.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-CAPTION_BLOCK = 8  # padding granularity for the caption axis (lcm of blocks)
+def _caption_blocks(rp, tp, dp, cd):
+    # (cb_fwd_dr, cb_dw): captions per grid step, fitted to the shapes.
+    # Inputs are double-buffered by the pipeline; the d_regions kernel holds
+    # an f32 [rp, dp] output block + accumulator, the d_words kernel an f32
+    # [cb, tp, dp] output block.  Per-caption temporaries ([tp, rp]
+    # sim/exp/attn and [tp, dp] context chains, f32) live on the Mosaic stack.
+    s = 2 if cd == jnp.bfloat16 else 4
+    fixed_tmp = 4 * (tp * rp * 3 + tp * dp * 4)
+    regions_io = 2 * rp * dp * s
+
+    def fits_fwd_dr(cb):
+        words_io = 2 * cb * tp * dp * s
+        out_dr = 2 * 4 * rp * dp  # out block + acc
+        return regions_io + words_io + out_dr + fixed_tmp <= _VMEM_BUDGET
+
+    def fits_dw(cb):
+        words_io = 2 * cb * tp * dp * s
+        out_dw = 4 * cb * tp * dp
+        return regions_io + words_io + out_dw + fixed_tmp <= _VMEM_BUDGET
+
+    def pick(fits):
+        for cb in (8, 4, 2, 1):
+            if fits(cb):
+                return cb
+        return 1
+
+    return pick(fits_fwd_dr), pick(fits_dw)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -227,7 +250,7 @@ def _prep(regions: Array, words: Array, mask_f: Array, cd):
 
 def _fwd_impl(regions, words, mask_f, gamma1, gamma2, cd, interpret):
     r, w, mp, (b, rr, d, bc, t, rp, tp, dp, cjp) = _prep(regions, words, mask_f, cd)
-    cb, _ = _caption_blocks(cd)
+    cb, _ = _caption_blocks(rp, tp, dp, cd)
     jb = cjp // cb
     kern = functools.partial(
         _fwd_kernel, gamma1=gamma1, gamma2=gamma2, real_r=rr, real_t=t,
@@ -250,7 +273,7 @@ def _fwd_impl(regions, words, mask_f, gamma1, gamma2, cd, interpret):
 
 def _bwd_impl(regions, words, mask_f, g, gamma1, gamma2, cd, interpret):
     r, w, mp, (b, rr, d, bc, t, rp, tp, dp, cjp) = _prep(regions, words, mask_f, cd)
-    cb, cb_dw = _caption_blocks(cd)
+    cb, cb_dw = _caption_blocks(rp, tp, dp, cd)
     jb = cjp // cb
     gp = _pad_axis(g.astype(jnp.float32), 1, cjp)
     gp3 = gp[:, None, :]  # [b, 1, cjp] for per-image blocking
