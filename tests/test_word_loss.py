@@ -227,3 +227,19 @@ def test_word_scores_bf16_compute_close_to_f32():
                          compute_dtype=jnp.bfloat16, block_elems=2 * T * R)
     b = losses.word_loss(regions, words, mask, labels, False, 0.5)
     np.testing.assert_allclose(float(a), float(b), atol=5e-2)
+
+
+def test_word_loss_with_concept_netd_raises_clearly():
+    from xmc_gan_tpu.train import make_train_step
+
+    cfg = cfg_from_dict({
+        "TRAIN": {"NCH": 8, "NEF": 32, "NOISE_DIM": 16, "HE_INIT": True,
+                  "ENCODER_LOSS": {"WORD": True}},
+        "GEN": {"ENCODER_NAME": "CONCEPT_OUT_DF_GEN"},
+        "IMG": {"SIZE": 64},
+        "TEXT": {"EMBEDDING_DIM": 48, "MAX_LENGTH": 8},
+        "DISC": {"ENCODER_NAME": "CONCEPT_NETD", "SENT_MATCH": True,
+                 "IMG_MATCH": False},
+    })
+    with pytest.raises(NotImplementedError, match="region head"):
+        make_train_step(cfg)

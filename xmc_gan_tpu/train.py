@@ -161,6 +161,13 @@ def make_train_step(
             "ENCODER_LOSS.VGG is not implemented (parity with reference "
             "train_gan.py:281)"
         )
+    if el.WORD and not hasattr(d_model, "features_and_regions"):
+        raise NotImplementedError(
+            f"ENCODER_LOSS.WORD needs a discriminator with a region head "
+            f"(features_and_regions); {type(d_model).__name__} "
+            f"({cfg.DISC.ENCODER_NAME}) has none — use DF_DISC for the "
+            "word-region loss (cfg/ln_*.yml do)"
+        )
 
     # bf16 training runs the word-loss pairwise einsums at the MXU bf16 rate
     # (f32 accumulation/reductions inside; see losses.word_region_scores)
