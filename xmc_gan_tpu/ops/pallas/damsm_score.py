@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-__all__ = ["damsm_scores", "damsm_scores_reference"]
+__all__ = ["damsm_scores"]
 
 NEG = -1e30
 CAPTION_BLOCK = 8  # padding granularity for the caption axis (max block)
@@ -371,12 +371,3 @@ def damsm_scores(
         compute_dtype == jnp.bfloat16, bool(interpret),
     )
     return fn(regions, words, mask.astype(jnp.float32))
-
-
-def damsm_scores_reference(regions, words, mask, gamma1=4.0, gamma2=5.0):
-    """jnp reference (identical math, materialized) for tests."""
-    from xmc_gan_tpu.losses import word_region_scores
-
-    return word_region_scores(
-        regions, words, mask, gamma1, gamma2, block_elems=None
-    )
