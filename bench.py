@@ -43,6 +43,10 @@ def main() -> None:
     import os
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "flagship"
+    if mode not in MODES:
+        sys.exit(
+            f"usage: bench.py [{'|'.join(MODES)}]  (unknown mode {mode!r})"
+        )
     nch = MODES[mode]["nch"]
     batch_size = MODES[mode]["batch_size"]
 

@@ -59,6 +59,51 @@ def test_one_step_per_family(name):
     assert int(state.step) == 1
 
 
+@pytest.mark.parametrize("gen_name", ["CONCEPT_INATTN_GEN", "CONCEPT_OUTATTN_GEN"])
+def test_one_step_word_attention_family(gen_name):
+    """Word-attention concept generators through the FULL train loop (VERDICT
+    r2 #3): these are the only generators that consume words/mask inside G, so
+    the G update's gradients must cross the -inf-masked word attention.  The
+    reference registers neither (dead code, ``train_gan.py:31``); no reference
+    cfg exists, so the loss set mirrors the concept-family cfgs."""
+    from xmc_gan_tpu.config import cfg_from_dict
+
+    cfg = cfg_from_dict({
+        "TRAIN": {
+            "NCH": 8, "NEF": 32, "NOISE_DIM": 16, "HE_INIT": True,
+            "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1, "BATCH_SIZE": 4,
+            "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
+            "SMOOTH": {"GLOBAL": 0.0},
+        },
+        "GEN": {"ENCODER_NAME": gen_name},
+        "IMG": {"SIZE": 64},
+        "TEXT": {"EMBEDDING_DIM": 48, "MAX_LENGTH": 6},
+        "DISC": {"SPEC_NORM": True, "IMG_MATCH": True},
+    })
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    g0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.g_params)
+    step = jax.jit(make_train_step(cfg))
+    state, metrics = step(state, _batch(cfg), jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (gen_name, k, v)
+    # gradients flowed through the masked word attention: the per-group word
+    # key projections inside the attention blocks moved
+    moved = [
+        "/".join(str(k) for k in path)
+        for path, a in jax.tree_util.tree_leaves_with_path(state.g_params)
+        if "key_gconv" in str(path)
+        and float(np.abs(np.asarray(a) - _lookup(g0, path)).max()) > 0
+    ]
+    assert moved, f"{gen_name}: no word-attention key projection was updated"
+
+
+def _lookup(tree, path):
+    node = tree
+    for k in path:
+        node = node[getattr(k, "key", getattr(k, "idx", None))]
+    return np.asarray(node)
+
+
 def test_n_critic_2_alternates_g_updates():
     cfg = _tiny(cfg_from_file(os.path.join(CFG_DIR, "concept_in_df_gan_sbert_n2_damsm.yml")))
     assert cfg.TRAIN.N_CRITIC == 2

@@ -187,7 +187,9 @@ def run_train(args: argparse.Namespace) -> dict:
     return trainer.fit(max_epochs=args.max_epochs, max_steps=args.max_steps)
 
 
-def run_eval(args: argparse.Namespace) -> float:
+def run_eval(args: argparse.Namespace) -> tuple[str, float]:
+    """Returns (scalar name, value) — the name distinguishes a real FID from
+    the random-init-extractor proxy."""
     import dataclasses
 
     from xmc_gan_tpu.config import cfg_from_file
@@ -207,15 +209,21 @@ def run_eval(args: argparse.Namespace) -> float:
         eval_num_samples=num_samples,
     )
     trainer.resume(args.resume_epoch or None)
+    from xmc_gan_tpu.eval import FidComputer
+
+    fid = FidComputer()
+    # a random-init extractor tracks relative progress only — never let its
+    # value be archived under the real metric name (VERDICT r2 weak #5)
+    name = "FID" if fid.pretrained else "FID_randinit_proxy"
     if args.protocol == "fid30k":
         fid_value = evaluate_fid_30k(
             cfg, trainer.state.g_params, trainer.encode, trainer.test_loader,
-            num_samples=num_samples, seed=args.seed,
+            num_samples=num_samples, seed=args.seed, fid=fid,
         )
         trainer.logger.info(
-            f"epoch : {trainer.state_epoch}, FID-30K : {fid_value:.3f}"
+            f"epoch : {trainer.state_epoch}, {name}-30K : {fid_value:.3f}"
         )
-        return fid_value
+        return name, fid_value
     save_dir = org_dir = None
     if args.save_images:
         epoch = trainer.state_epoch
@@ -224,10 +232,10 @@ def run_eval(args: argparse.Namespace) -> float:
     fid_value = evaluate_fid(
         cfg, trainer.state.g_params, trainer.encode, trainer.test_loader,
         num_samples=num_samples, seed=args.seed,
-        save_dir=save_dir, org_dir=org_dir,
+        save_dir=save_dir, org_dir=org_dir, fid=fid,
     )
-    trainer.logger.info(f"epoch : {trainer.state_epoch}, FID : {fid_value:.3f}")
-    return fid_value
+    trainer.logger.info(f"epoch : {trainer.state_epoch}, {name} : {fid_value:.3f}")
+    return name, fid_value
 
 
 def run_convert_fid_weights(args: argparse.Namespace) -> str:
@@ -316,7 +324,8 @@ def main(argv=None) -> int:
         print({k: round(v, 4) for k, v in metrics.items()})
         return 0
     if args.command == "eval":
-        print({"FID": round(run_eval(args), 4)})
+        name, value = run_eval(args)
+        print({name: round(value, 4)})
         return 0
     if args.command == "sample":
         print(run_sample(args))

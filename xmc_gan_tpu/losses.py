@@ -41,7 +41,9 @@ __all__ = [
     "sent_loss",
     "img_loss",
     "word_loss",
+    "word_loss_from_scores",
     "word_region_scores",
+    "word_scores_backend",
     "hinge_real",
     "hinge_fake",
     "generator_loss",
@@ -163,6 +165,38 @@ def img_loss(
 # a scan instead.
 WORD_LOSS_BLOCK_ELEMS = 2**26
 
+# float32 dtypes the score backends agree on; anything else (e.g. float16)
+# would be silently coerced to f32 by the Pallas backend while the XLA path
+# honored it — fail loudly instead (ADVICE r2).
+_WORD_COMPUTE_DTYPES = (None, jnp.float32, jnp.bfloat16)
+
+
+def word_scores_backend(
+    b: int,
+    bc: int,
+    t: int,
+    r_regions: int,
+    block_elems: int | None,
+    in_shard_map: bool = False,
+) -> str:
+    """Explicit backend seam for ``word_region_scores``.
+
+    The fused Pallas kernel wins exactly where blocking would kick in (it keeps
+    each pair's intermediates in VMEM instead of streaming them via HBM), but a
+    ``pallas_call`` is opaque to GSPMD: under a multi-device jit it would be
+    replicated, running the full global pairwise computation on every chip.  So
+    auto-selection picks Pallas only when the per-device program is explicit —
+    single-device execution, or inside the ``shard_map`` row-block formulation
+    (``parallel.collectives.make_sharded_word_scores``), where each device's
+    kernel covers exactly its [B_local, B_global] block.
+    """
+    big = block_elems is not None and b * bc * t * r_regions > block_elems
+    if not (big and jax.default_backend() == "tpu"):
+        return "xla"
+    if in_shard_map or jax.device_count() == 1:
+        return "pallas"
+    return "xla"
+
 
 def word_region_scores(
     region_feats: Array,
@@ -207,13 +241,17 @@ def word_region_scores(
     float32, as do the normalize/softmax/log-sum-exp reductions).  None keeps
     full float32 operands.
     """
+    if compute_dtype not in _WORD_COMPUTE_DTYPES:
+        raise ValueError(
+            f"word_region_scores: compute_dtype must be one of "
+            f"{_WORD_COMPUTE_DTYPES}, got {compute_dtype!r} (the Pallas "
+            "backend only accelerates bf16 operands; other dtypes would "
+            "silently diverge between backends)"
+        )
     b, r_regions, d = region_feats.shape
     bc, t, _ = words_embs.shape
-    big = block_elems is not None and b * bc * t * r_regions > block_elems
     if backend is None:
-        # the fused kernel wins exactly where blocking would kick in: it keeps
-        # each pair's intermediates in VMEM instead of streaming them via HBM
-        backend = "pallas" if (big and jax.default_backend() == "tpu") else "xla"
+        backend = word_scores_backend(b, bc, t, r_regions, block_elems)
     if backend == "pallas":
         from xmc_gan_tpu.ops.pallas.damsm_score import damsm_scores
 
@@ -290,12 +328,29 @@ def word_loss(
     ``region_feats``: [B, R, D] spatial discriminator features;
     ``words_embs``: [B, T, D]; rows of the score matrix index images.
     """
-    num_pos = contrastive_num_pos(labels, b_global, smooth_global)
     score = word_region_scores(
         region_feats, words_embs, mask, gamma1, gamma2, block_elems,
         compute_dtype, backend, interpret,
     )
-    return _symmetric_info_nce(gamma3 * score, labels, num_pos)
+    return word_loss_from_scores(score, labels, b_global, smooth_global, gamma3)
+
+
+def word_loss_from_scores(
+    scores: Array,
+    labels: Array,
+    b_global: bool,
+    smooth_global: float,
+    gamma3: float = 10.0,
+) -> Array:
+    """InfoNCE half of ``word_loss`` over precomputed matching scores.
+
+    Split out so the distributed train step can produce ``scores`` through the
+    ``shard_map`` row-block formulation (each chip computes its
+    [B_local, B_global] block; see ``parallel.collectives``) and feed the same
+    symmetric objective.
+    """
+    num_pos = contrastive_num_pos(labels, b_global, smooth_global)
+    return _symmetric_info_nce(gamma3 * scores, labels, num_pos)
 
 
 def hinge_real(logits: Array) -> Array:

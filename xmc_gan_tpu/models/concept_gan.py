@@ -22,7 +22,9 @@ reference file is dead code (its registry import is commented out,
 
 TPU-first choices: words are ``[B, T, D]``; grouped 1x1 convs are batched
 einsums (``ops/grouped.GroupedDense``); the masked word attention is one
-einsum + softmax chain (the blockwise-Pallas hook point for long captions);
+einsum + softmax chain (XLA-fused — its grouped state_dim=4 geometry pads
+32x on the MXU lane axis, so the ``ops/pallas/cross_attention`` experiment
+does not apply here; see that module's docstring);
 ``ResBlockUp``'s BatchNorm is a *pure* batch-stat normalization (no running
 averages — under the jitted global-batch step the statistics are global-batch
 statistics automatically; matches ``track_running_stats=False`` semantics).

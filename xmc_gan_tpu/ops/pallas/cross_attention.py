@@ -1,13 +1,19 @@
 """Pallas kernel: blockwise masked cross-attention (image queries x word keys).
 
-The long-caption (LN-COCO, ~200-token Localized Narratives) plan from
-SURVEY.md §5: the word-region attention that powers ``losses.word_loss`` and
-the ``concept_gan`` samplers is image-queries-attend-over-words with padding
-masked to -inf.  At the reference's T<=20 XLA handles it inline; at T in the
-hundreds with N = H*W image queries the [N, T] score matrix per batch element
-is the hot object, and this kernel computes the context **blockwise over the
-word axis with an online (flash-style) softmax** — scores never materialize in
-HBM, VMEM usage is O(TILE_N * TILE_T), and arbitrary T streams through.
+**Status: documented experiment** (mirroring ``fused_affine``) — standalone
+1.76x over XLA at an LN-like shape, but no production consumer: the LN
+word-region loss it was designed for is served by ``damsm_score`` (whose
+pairwise every-image-x-every-caption structure and custom VJP this kernel
+cannot express), and the ``concept_gan`` samplers' grouped state_dim=4
+attention is the wrong shape for the MXU (see ``ops/pallas/__init__``).
+Kept, tested, as a seam for future single-pair attention workloads.
+
+The mechanics: image-queries-attend-over-words with padding masked to -inf.
+At the reference's T<=20 XLA handles it inline; at T in the hundreds with
+N = H*W image queries the [N, T] score matrix per batch element is the hot
+object, and this kernel computes the context **blockwise over the word axis
+with an online (flash-style) softmax** — scores never materialize in HBM,
+VMEM usage is O(TILE_N * TILE_T), and arbitrary T streams through.
 
     ctx[b, n, :] = sum_t softmax_t(scale * q[b,n]·k[b,t] + mask)  v[b, t, :]
 

@@ -144,8 +144,23 @@ def make_train_step(
     g_model=None,
     d_model=None,
     dtype=jnp.float32,
+    mesh=None,
+    word_block_elems: int | None = None,
 ) -> Callable[[TrainState, dict, Array], tuple[TrainState, dict]]:
-    """Build the jitted-able train step for a given (static) config."""
+    """Build the jitted-able train step for a given (static) config.
+
+    ``mesh``: the ``jax.sharding.Mesh`` the step will be jitted over, if any.
+    Everything in the step is GSPMD-partitionable from the global-batch
+    formulation *except* the word-region matching scores (the Pallas kernel is
+    opaque to the partitioner), so with a multi-device mesh those route through
+    the explicit ``shard_map`` row-block formulation
+    (``parallel.collectives.make_sharded_word_scores``): each chip computes its
+    [B_local, B_global] block against the all-gathered global words.
+
+    ``word_block_elems``: override for the word-loss streaming threshold
+    (``losses.WORD_LOSS_BLOCK_ELEMS``); used by tests/dry runs to force the
+    blocking/kernel path at reduced shapes.
+    """
     if g_model is None or d_model is None:
         g_model, d_model = make_models(cfg, dtype)
     g_tx, d_tx = make_optimizers(cfg)
@@ -172,6 +187,26 @@ def make_train_step(
     # bf16 training runs the word-loss pairwise einsums at the MXU bf16 rate
     # (f32 accumulation/reductions inside; see losses.word_region_scores)
     word_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else None
+
+    word_scores_fn = None
+    if el.WORD:
+        block_elems = (
+            losses.WORD_LOSS_BLOCK_ELEMS if word_block_elems is None
+            else word_block_elems
+        )
+        if mesh is not None and mesh.size > 1:
+            from xmc_gan_tpu.parallel.collectives import make_sharded_word_scores
+
+            word_scores_fn = make_sharded_word_scores(
+                mesh, t.SMOOTH.GAMMA1, t.SMOOTH.GAMMA2,
+                block_elems=block_elems, compute_dtype=word_dtype,
+            )
+        else:
+            def word_scores_fn(regions, words, mask):
+                return losses.word_region_scores(
+                    regions, words, mask, t.SMOOTH.GAMMA1, t.SMOOTH.GAMMA2,
+                    block_elems=block_elems, compute_dtype=word_dtype,
+                )
 
     def g_apply(g_params, noise, sent, words, mask):
         return g_model.apply({"params": g_params}, noise, sent, words, mask)
@@ -252,10 +287,9 @@ def make_train_step(
                 )
                 enc_loss = enc_loss + t.SMOOTH.SENT * ds_loss
             if el.WORD:
-                ds_word = losses.word_loss(
-                    regions_real, words, mask, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL,
-                    t.SMOOTH.GAMMA1, t.SMOOTH.GAMMA2, t.SMOOTH.GAMMA3,
-                    compute_dtype=word_dtype,
+                ds_word = losses.word_loss_from_scores(
+                    word_scores_fn(regions_real, words, mask),
+                    labels, el.B_GLOBAL, t.SMOOTH.GLOBAL, t.SMOOTH.GAMMA3,
                 )
                 enc_loss = enc_loss + t.SMOOTH.WORD * ds_word
 
@@ -312,10 +346,9 @@ def make_train_step(
                     )
                     enc_loss = enc_loss + t.SMOOTH.SENT * gs_loss
                 if el.WORD:
-                    gs_word = losses.word_loss(
-                        regions_fake, words, mask, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL,
-                        t.SMOOTH.GAMMA1, t.SMOOTH.GAMMA2, t.SMOOTH.GAMMA3,
-                        compute_dtype=word_dtype,
+                    gs_word = losses.word_loss_from_scores(
+                        word_scores_fn(regions_fake, words, mask),
+                        labels, el.B_GLOBAL, t.SMOOTH.GLOBAL, t.SMOOTH.GAMMA3,
                     )
                     enc_loss = enc_loss + t.SMOOTH.WORD * gs_word
                 if el.DISC:
@@ -383,9 +416,9 @@ def make_train_step(
     return train_step
 
 
-def jit_train_step(cfg: Config, dtype=jnp.float32, **jit_kwargs):
+def jit_train_step(cfg: Config, dtype=jnp.float32, mesh=None, **jit_kwargs):
     """Jitted train step with donated state (double-buffer-free updates)."""
-    step = make_train_step(cfg, dtype=dtype)
+    step = make_train_step(cfg, dtype=dtype, mesh=mesh)
     return jax.jit(step, donate_argnums=(0,), **jit_kwargs)
 
 
