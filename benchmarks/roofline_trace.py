@@ -94,6 +94,7 @@ def analyze(outdir: str) -> None:
         if e.get("ph") == "M" and e.get("name") == "thread_name"
     }
     lanes = collections.defaultdict(float)
+    cats = collections.defaultdict(lambda: [0.0, 0])  # hlo_category -> [us, B]
     t_min, t_max = float("inf"), 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
@@ -103,13 +104,30 @@ def analyze(outdir: str) -> None:
             continue  # host threads are not the roofline question
         tid = tid_names.get((e["pid"], e["tid"]), str(e["tid"]))
         lanes[f"{pid} :: {tid}"] += e["dur"]
-        t_min = min(t_min, e["ts"])
-        t_max = max(t_max, e["ts"] + e["dur"])
+        if tid == "XLA Ops":
+            a = e.get("args", {})
+            c = cats[a.get("hlo_category", "?")]
+            c[0] += e["dur"]
+            c[1] += int(a.get("bytes_accessed", 0))
+            t_min = min(t_min, e["ts"])
+            t_max = max(t_max, e["ts"] + e["dur"])
     span = max(t_max - t_min, 1e-9)
     print(f"device trace span: {span / 1e3:.1f} ms "
           f"(file: {os.path.relpath(paths[-1], outdir)})")
     for lane, busy in sorted(lanes.items(), key=lambda kv: -kv[1]):
         print(f"  {busy / 1e3:9.1f} ms  {busy / span * 100:5.1f}%  {lane}")
+    # per-op bytes_accessed telemetry -> sustained HBM bandwidth per category
+    tot_d = sum(v[0] for v in cats.values()) or 1e-9
+    tot_b = sum(v[1] for v in cats.values())
+    print(f"{'hlo_category':24s} {'time ms':>9s} {'%time':>6s} "
+          f"{'GB':>8s} {'GB/s':>6s}")
+    for cat, (d, b) in sorted(cats.items(), key=lambda kv: -kv[1][0]):
+        if d < tot_d * 0.005:
+            continue
+        print(f"{cat:24s} {d / 1e3:9.1f} {d / tot_d * 100:5.1f}% "
+              f"{b / 1e9:8.2f} {b / 1e9 / (d / 1e6):6.0f}")
+    print(f"{'TOTAL (sustained/span)':24s} {tot_d / 1e3:9.1f} {'':6s} "
+          f"{tot_b / 1e9:8.2f} {tot_b / 1e9 / (span / 1e6):6.0f}")
 
 
 def main() -> None:
