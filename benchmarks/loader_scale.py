@@ -21,9 +21,9 @@ Usage: python benchmarks/loader_scale.py [N_CAPTIONS] [BATCHES] [THREADS]
 
 from __future__ import annotations
 
+import gc
 import os
 import pickle
-import resource
 import sys
 import tempfile
 import time
@@ -34,7 +34,11 @@ import numpy as np
 
 
 def rss_mb() -> float:
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    """Current (not peak) resident set, so deltas across phases are real."""
+    gc.collect()
+    with open("/proc/self/statm") as f:
+        pages = int(f.read().split()[1])
+    return pages * os.sysconf("SC_PAGE_SIZE") / 2 ** 20
 
 
 def build_corpus(root: str, n: int, pool: int = 64) -> None:
