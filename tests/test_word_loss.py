@@ -243,3 +243,39 @@ def test_word_loss_with_concept_netd_raises_clearly():
     })
     with pytest.raises(NotImplementedError, match="region head"):
         make_train_step(cfg)
+
+
+def test_word_scores_backend_seam():
+    """The explicit backend seam (ADVICE r2): Pallas only fires at blocking
+    scale on TPU, and only when the per-device program is explicit — single
+    device or inside the shard_map row-block body."""
+    big = (64, 64, 200, 256)   # > WORD_LOSS_BLOCK_ELEMS pairs x T x R
+    small = (8, 8, 8, 16)
+    # On the CPU test backend, never Pallas
+    assert losses.word_scores_backend(*big, losses.WORD_LOSS_BLOCK_ELEMS) == "xla"
+    # Force the TPU branch to exercise the gating logic
+    import unittest.mock as mock
+
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        with mock.patch.object(jax, "device_count", return_value=1):
+            assert losses.word_scores_backend(
+                *big, losses.WORD_LOSS_BLOCK_ELEMS) == "pallas"
+            assert losses.word_scores_backend(
+                *small, losses.WORD_LOSS_BLOCK_ELEMS) == "xla"  # not big
+        with mock.patch.object(jax, "device_count", return_value=8):
+            # multi-device GSPMD context: pallas would replicate — refuse
+            assert losses.word_scores_backend(
+                *big, losses.WORD_LOSS_BLOCK_ELEMS) == "xla"
+            # ... unless inside the shard_map row-block formulation
+            assert losses.word_scores_backend(
+                *big, losses.WORD_LOSS_BLOCK_ELEMS, in_shard_map=True
+            ) == "pallas"
+
+
+def test_word_region_scores_rejects_unsupported_compute_dtype():
+    rng = np.random.RandomState(0)
+    regions = jnp.asarray(rng.randn(2, 4, 8), jnp.float32)
+    words = jnp.asarray(rng.randn(2, 3, 8), jnp.float32)
+    mask = jnp.zeros((2, 3), bool)
+    with pytest.raises(ValueError, match="compute_dtype"):
+        losses.word_region_scores(regions, words, mask, compute_dtype=jnp.float16)
