@@ -19,9 +19,11 @@ missing #2): optimizer coupling, loss scales, two-Adam MAGP schedule, SN
 dynamics only show up as training curves (the reference's own validation was
 empirical curves, ``/root/reference/xmc_gan/train_gan.py:292-321``).
 
-Usage: python benchmarks/toy_learn.py [STEPS] [BS] [NCH] (default 2000 64 32)
-Prints one JSON line per eval point, then a summary verdict comparing the
-final third of the run against the init point.
+Usage: python benchmarks/toy_learn.py [STEPS] [BS] [NCH] [GRID_PATH]
+(default 2000 64 32 none).  Prints one JSON line per eval point, then a
+summary verdict comparing the final third of the run against the init point.
+With GRID_PATH set, saves a visual artifact: row pairs of (real render of a
+caption, generated image for that caption) for 16 held-out captions.
 """
 
 from __future__ import annotations
@@ -171,6 +173,21 @@ def main() -> None:
     init, tail = history[0], history[-(len(history) // 3 + 1):]
     final = {k: float(np.mean([h[k] for h in tail]))
              for k in ("color_acc", "pos_acc", "d_margin", "fid_proxy")}
+    grid_path = sys.argv[4] if len(sys.argv) > 4 else None
+    if grid_path:
+        from xmc_gan_tpu.utils.miscc import save_image_grid
+
+        n_show = 16
+        fake = np.asarray(
+            sample(state.g_params, enoise[:n_show], esent[:n_show]), np.float32
+        )
+        real = np.asarray(ereal[:n_show], np.float32)
+        # alternate real / generated per caption: columns pair up in the grid
+        inter = np.stack([real, fake], axis=1).reshape(-1, *real.shape[1:])
+        save_image_grid(inter, grid_path, nrow=8)
+        print(f"saved caption-conditioning grid (real|generated pairs) to "
+              f"{grid_path}", flush=True)
+
     verdict = {
         "steps": steps, "bs": bs, "nch": nch,
         "train_seconds": round(dt, 1),

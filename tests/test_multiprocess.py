@@ -55,7 +55,40 @@ def loss_fn(i, t):
 val = float(loss_fn(img_g, txt_g))
 want = float(loss_fn(jnp.asarray(img), jnp.asarray(txt)))
 assert abs(val - want) < 1e-5, (val, want)
-print(f"proc {jax.process_index()} loss {val:.6f} ok", flush=True)
+
+# the shard_map row-block word loss across the process boundary: regions
+# stay on each process's devices, words all_gather over a data axis that
+# spans both processes (the DCN path of the LN deployment)
+from xmc_gan_tpu.parallel.collectives import make_sharded_word_scores
+
+R, T = 6, 5
+regions = rng.randn(B, R, D).astype(np.float32)
+words = rng.randn(B, T, D).astype(np.float32)
+mask = rng.rand(B, T) > 0.7
+mask[:, 0] = False
+sl = slice(jax.process_index() * 8, jax.process_index() * 8 + 8)
+r_g = multihost_utils.host_local_array_to_global_array(
+    regions[sl], mesh, P("data", None, None))
+w_g = multihost_utils.host_local_array_to_global_array(
+    words[sl], mesh, P("data", None, None))
+m_g = multihost_utils.host_local_array_to_global_array(
+    mask[sl], mesh, P("data", None))
+sharded_scores = make_sharded_word_scores(mesh, block_elems=32)
+
+@jax.jit
+def wloss(r, w, m, t):
+    labels = losses.make_labels(t, False, 0.5)
+    return losses.word_loss_from_scores(
+        sharded_scores(r, w, m), labels, False, 0.5)
+
+wv = float(wloss(r_g, w_g, m_g, txt_g))
+wwant = float(losses.word_loss(
+    jnp.asarray(regions), jnp.asarray(words), jnp.asarray(mask),
+    losses.make_labels(jnp.asarray(txt), False, 0.5), False, 0.5,
+    block_elems=32))
+assert abs(wv - wwant) < 1e-5, (wv, wwant)
+
+print(f"proc {jax.process_index()} loss {val:.6f} word {wv:.6f} ok", flush=True)
 """
 
 

@@ -143,3 +143,20 @@ def test_cli_train_smoke(run_dir, tmp_path):
     assert rc == 0
     assert glob.glob(f"{tmp_path}/coco64_DF_GAN_DAMSM*/img/fake_samples_epoch_001.png") or \
         glob.glob(f"{tmp_path}/coco64_*_7/img/fake_samples_epoch_001.png")
+
+
+def test_fid_scalar_name_distinguishes_randinit_proxy(run_dir):
+    """A random-init Inception extractor's value must never archive under the
+    real ``FID`` scalar name (VERDICT r2 weak #5)."""
+    from xmc_gan_tpu.eval import FidComputer
+
+    tr = Trainer(
+        cfg := tiny_cfg(), seed=11, output_root=run_dir, log_type="none",
+        synthetic=True, synthetic_len=8, num_threads=1,
+    )
+    assert tr.fid_scalar_name == "FID"  # no extractor yet -> optimistic default
+    tr._fid = FidComputer()  # no weights in this env -> random-init fallback
+    assert not tr._fid.pretrained
+    assert tr.fid_scalar_name == "FID_randinit_proxy"
+    tr._fid.pretrained = True
+    assert tr.fid_scalar_name == "FID"
