@@ -145,11 +145,13 @@ def test_cli_train_smoke(run_dir, tmp_path):
         glob.glob(f"{tmp_path}/coco64_*_7/img/fake_samples_epoch_001.png")
 
 
-def test_fid_scalar_name_distinguishes_randinit_proxy(run_dir):
+def test_fid_scalar_name_distinguishes_randinit_proxy(run_dir, monkeypatch):
     """A random-init Inception extractor's value must never archive under the
     real ``FID`` scalar name (VERDICT r2 weak #5)."""
     from xmc_gan_tpu.eval import FidComputer
 
+    # force the random-init fallback even on hosts with real weights set up
+    monkeypatch.delenv("FID_WEIGHTS_PATH", raising=False)
     tr = Trainer(
         cfg := tiny_cfg(), seed=11, output_root=run_dir, log_type="none",
         synthetic=True, synthetic_len=8, num_threads=1,

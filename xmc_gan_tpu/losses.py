@@ -241,12 +241,21 @@ def word_region_scores(
     float32, as do the normalize/softmax/log-sum-exp reductions).  None keeps
     full float32 operands.
     """
-    if compute_dtype not in _WORD_COMPUTE_DTYPES:
-        raise ValueError(
-            f"word_region_scores: compute_dtype must be one of "
-            f"{_WORD_COMPUTE_DTYPES}, got {compute_dtype!r} (the Pallas "
-            "backend only accelerates bf16 operands; other dtypes would "
-            "silently diverge between backends)"
+    if compute_dtype is not None:
+        # canonicalize so equivalent spellings ("bfloat16", np.float32, ...)
+        # pass; anything else would silently diverge between backends
+        canon = jnp.dtype(compute_dtype)
+        if canon not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+            raise ValueError(
+                f"word_region_scores: compute_dtype must be one of "
+                f"{_WORD_COMPUTE_DTYPES}, got {compute_dtype!r} (the Pallas "
+                "backend only accelerates bf16 operands; other dtypes would "
+                "silently diverge between backends)"
+            )
+        # hand downstream code the canonical scalar type so e.g. the Pallas
+        # backend's `compute_dtype == jnp.bfloat16` check sees any spelling
+        compute_dtype = (
+            jnp.bfloat16 if canon == jnp.dtype(jnp.bfloat16) else jnp.float32
         )
     b, r_regions, d = region_feats.shape
     bc, t, _ = words_embs.shape
