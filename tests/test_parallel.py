@@ -128,6 +128,37 @@ def test_sharded_word_scores_match_single_device(eight_devices, dp, tp):
     np.testing.assert_allclose(np.asarray(got_dw), np.asarray(want_dw), rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_word_scores_tp_fallback_when_indivisible(eight_devices):
+    """When B_global does not divide by tp, the caption-axis split is skipped
+    and every model rank computes full columns — values and grads must still
+    match single-device (dp=2 x tp=4, B=6: 6 % 4 != 0)."""
+    from xmc_gan_tpu.parallel.collectives import make_sharded_word_scores
+
+    mesh = make_mesh(dp=2, tp=4)
+    regions, words, mask = _word_inputs(b=6, r=4, t=5, d=8)
+    cot = jnp.asarray(np.random.RandomState(11).randn(6, 6), jnp.float32)
+
+    def single(r, w):
+        s = losses.word_region_scores(r, w, mask, 4.0, 5.0, block_elems=32)
+        return jnp.sum(s * cot)
+
+    want_val = single(regions, words)
+    want_dr, want_dw = jax.grad(single, argnums=(0, 1))(regions, words)
+
+    sharded = make_sharded_word_scores(mesh, 4.0, 5.0, block_elems=32)
+
+    def dist(r, w):
+        return jnp.sum(sharded(r, w, mask) * cot)
+
+    spec3 = NamedSharding(mesh, P("data", None, None))
+    r_s, w_s = jax.device_put(regions, spec3), jax.device_put(words, spec3)
+    got_val = jax.jit(dist)(r_s, w_s)
+    got_dr, got_dw = jax.jit(jax.grad(dist, argnums=(0, 1)))(r_s, w_s)
+    np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_dr), np.asarray(want_dr), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_dw), np.asarray(want_dw), rtol=1e-4, atol=1e-6)
+
+
 def test_sharded_word_scores_pallas_interpret(eight_devices):
     """The fused Pallas kernel lowers and matches numerics *inside* shard_map
     (interpret mode on the CPU mesh; on a real TPU mesh the same per-device
