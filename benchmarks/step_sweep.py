@@ -1,6 +1,6 @@
 """One-config training-step measurement on the live accelerator.
 
-Usage: python benchmarks/step_sweep.py NCH BATCH [dtype] [steps]
+Usage: python benchmarks/step_sweep.py NCH BATCH [dtype] [steps] [imsize]
 Prints one JSON line: step time, images/sec/chip, XLA cost-analysis FLOPs and
 bytes accessed (the roofline inputs for BASELINE.md).  Run one config per
 process so an OOM kills only that probe.
@@ -30,16 +30,17 @@ def main() -> None:
         sys.argv[3] if len(sys.argv) > 3 else "bf16"
     ]
     n_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+    imsize = int(sys.argv[5]) if len(sys.argv) > 5 else 256
 
     cfg = cfg_from_dict({
-        "CONFIG_NAME": f"SWEEP_{nch}_{bs}",
+        "CONFIG_NAME": f"SWEEP_{nch}_{bs}_{imsize}",
         "TRAIN": {
             "NCH": nch, "NEF": 256, "NOISE_DIM": 100, "HE_INIT": True,
             "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1, "BATCH_SIZE": bs,
             "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
             "SMOOTH": {"GLOBAL": 0.0},
         },
-        "IMG": {"SIZE": 256},
+        "IMG": {"SIZE": imsize},
         "TEXT": {"EMBEDDING_DIM": 256, "MAX_LENGTH": 20},
         "DISC": {"SPEC_NORM": True, "IMG_MATCH": True},
     })
@@ -49,7 +50,7 @@ def main() -> None:
 
     rng = np.random.RandomState(0)
     batch = {
-        "imgs": jnp.asarray(rng.uniform(-1, 1, (bs, 256, 256, 3)), jnp.float32),
+        "imgs": jnp.asarray(rng.uniform(-1, 1, (bs, imsize, imsize, 3)), jnp.float32),
         "sent_embs": jnp.asarray(rng.randn(bs, 256), jnp.float32),
         "words_embs": jnp.asarray(rng.randn(bs, 20, 256), jnp.float32),
         "mask": jnp.asarray(rng.rand(bs, 20) > 0.7),
@@ -76,7 +77,7 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / n_steps
 
     print(json.dumps({
-        "nch": nch, "bs": bs, "dtype": str(dtype.__name__),
+        "nch": nch, "bs": bs, "imsize": imsize, "dtype": str(dtype.__name__),
         "step_ms": round(dt * 1e3, 1),
         "img_per_s": round(bs / dt, 1),
         "tflops_per_step": round(flops / 1e12, 2),

@@ -49,16 +49,19 @@ EVAL_N = 256  # held-out captions per eval point
 EMB_DIM = 256
 
 
-def build_cfg(nch: int, bs: int):
+def build_cfg(nch: int, bs: int, word: bool = False):
     # reference hyperparameters (cfg/df_gan_damsm.yml): G lr 1e-4 / D 4e-4,
-    # betas (0, 0.9), MAGP + RMIS + SENT + DISC, B_GLOBAL soft labels
+    # betas (0, 0.9), MAGP + RMIS + SENT + DISC, B_GLOBAL soft labels.
+    # word=True additionally turns on XMC's word-region attentional loss
+    # (the north-star objective) over the D's 16x16 region head.
     return cfg_from_dict({
         "CONFIG_NAME": "TOY_LEARN",
         "TRAIN": {
             "NCH": nch, "NEF": 256, "NOISE_DIM": 100, "HE_INIT": True,
             "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1, "BATCH_SIZE": bs,
-            "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
-            "SMOOTH": {"GLOBAL": 0.0},
+            "ENCODER_LOSS": {"SENT": True, "DISC": True, "WORD": word,
+                             "B_GLOBAL": True},
+            "SMOOTH": {"GLOBAL": 0.0, "WORD": 1.0},
         },
         "IMG": {"SIZE": 64},
         "TEXT": {"EMBEDDING_DIM": EMB_DIM, "MAX_LENGTH": 8},
@@ -79,12 +82,14 @@ def make_batch(rng: np.random.RandomState, bs: int) -> dict:
 
 
 def main() -> None:
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    bs = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    nch = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    use_word = "--word" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a != "--word"]
+    steps = int(args[0]) if len(args) > 0 else 2000
+    bs = int(args[1]) if len(args) > 1 else 64
+    nch = int(args[2]) if len(args) > 2 else 32
     eval_every = max(steps // 10, 1)
 
-    cfg = build_cfg(nch, bs)
+    cfg = build_cfg(nch, bs, use_word)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     g_model, d_model = make_models(cfg, dtype)
     state = create_train_state(cfg, jax.random.PRNGKey(100))
@@ -166,6 +171,9 @@ def main() -> None:
                 "Loss_G": float(metrics["Loss_G"]),
                 "d_loss_gp": float(metrics["d_loss_gp"]),
             }
+            if use_word:
+                losses["ds_word"] = float(metrics["ds_word"])
+                losses["gs_word"] = float(metrics["gs_word"])
             assert all(np.isfinite(v) for v in losses.values()), losses
             report(i, losses)
     dt = time.perf_counter() - t0
@@ -173,7 +181,7 @@ def main() -> None:
     init, tail = history[0], history[-(len(history) // 3 + 1):]
     final = {k: float(np.mean([h[k] for h in tail]))
              for k in ("color_acc", "pos_acc", "d_margin", "fid_proxy")}
-    grid_path = sys.argv[4] if len(sys.argv) > 4 else None
+    grid_path = args[3] if len(args) > 3 else None
     if grid_path:
         from xmc_gan_tpu.utils.miscc import save_image_grid
 
@@ -206,6 +214,21 @@ def main() -> None:
         ),
         "fid_proxy_drops": bool(final["fid_proxy"] < init["fid_proxy"] * 0.8),
     }
+    if use_word:
+        with_word = [h for h in history if "gs_word" in h]
+        first_w, tail_w = with_word[0], with_word[-(len(with_word) // 3 + 1):]
+        verdict["word_loss"] = True
+        verdict["gs_word_first"] = round(first_w["gs_word"], 3)
+        verdict["gs_word_final"] = round(
+            float(np.mean([h["gs_word"] for h in tail_w])), 3)
+        verdict["ds_word_first"] = round(first_w["ds_word"], 3)
+        verdict["ds_word_final"] = round(
+            float(np.mean([h["ds_word"] for h in tail_w])), 3)
+        # the word objective trains: G's word-region matching improves from
+        # its first reported value
+        verdict["word_loss_improves"] = bool(
+            verdict["gs_word_final"] < verdict["gs_word_first"]
+        )
     print("VERDICT " + json.dumps(verdict), flush=True)
 
 
