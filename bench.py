@@ -18,10 +18,12 @@ Prints exactly ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
 Modes (first CLI arg, default ``flagship``):
-    flagship — NCH=32 bs128, the headline number above.
+    flagship — NCH=32 bs128 at 256 px, the headline number above.
     ch96     — the paper config scale (BASELINE.json config #3: COCO 256²,
                ch=96).  The A100 anchor is rescaled by the FLOP ratio of the
                two models so vs_baseline stays an apples-to-apples speedup.
+    ref64    — the reference's canonical training config (COCO 64 px,
+               batch 88); anchor rescaled by per-image FLOPs likewise.
 """
 
 from __future__ import annotations
@@ -34,8 +36,11 @@ BASELINE_IMAGES_PER_SEC_PER_CHIP = 90.0  # estimated PyTorch A100 (BASELINE.md)
 
 # bs32 measured best for ch=96 on the 16 GB chip (BASELINE.md ch96 sweep)
 MODES = {
-    "flagship": dict(nch=32, batch_size=128),
-    "ch96": dict(nch=96, batch_size=32),
+    "flagship": dict(nch=32, batch_size=128, imsize=256),
+    "ch96": dict(nch=96, batch_size=32, imsize=256),
+    # the reference's own canonical training config (cfg/df_gan_damsm.yml:
+    # COCO 64 px, batch 88) — BASELINE.md "reference canonical config" row
+    "ref64": dict(nch=32, batch_size=88, imsize=64),
 }
 
 
@@ -49,6 +54,7 @@ def main() -> None:
         )
     nch = MODES[mode]["nch"]
     batch_size = MODES[mode]["batch_size"]
+    imsize = MODES[mode]["imsize"]
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmc_jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -61,7 +67,7 @@ def main() -> None:
     from xmc_gan_tpu.train import create_train_state, make_train_step
 
     cfg = cfg_from_dict({
-        "CONFIG_NAME": f"BENCH_256_{mode.upper()}",
+        "CONFIG_NAME": f"BENCH_{imsize}_{mode.upper()}",
         "TRAIN": {
             "NCH": nch, "NEF": 256, "NOISE_DIM": 100, "HE_INIT": True,
             "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1,
@@ -69,7 +75,7 @@ def main() -> None:
             "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
             "SMOOTH": {"GLOBAL": 0.0},
         },
-        "IMG": {"SIZE": 256},
+        "IMG": {"SIZE": imsize},
         "TEXT": {"EMBEDDING_DIM": 256, "MAX_LENGTH": 20},
         "DISC": {"SPEC_NORM": True, "IMG_MATCH": True},
     })
@@ -81,7 +87,7 @@ def main() -> None:
     rng = np.random.RandomState(0)
     batch = {
         "imgs": jnp.asarray(
-            rng.uniform(-1, 1, (batch_size, 256, 256, 3)), jnp.float32
+            rng.uniform(-1, 1, (batch_size, imsize, imsize, 3)), jnp.float32
         ),
         "sent_embs": jnp.asarray(rng.randn(batch_size, 256), jnp.float32),
         "words_embs": jnp.asarray(rng.randn(batch_size, 20, 256), jnp.float32),
@@ -112,6 +118,13 @@ def main() -> None:
 
     baseline = BASELINE_IMAGES_PER_SEC_PER_CHIP
     metric = "train_images_per_sec_per_chip_coco256_dfgan_xmc"
+    if mode == "ref64":
+        # same-hardware anchor rescaled by per-image FLOPs: the 64 px step
+        # costs ~1/18.3 of the 256 px per-image cost (0.9/88 vs 23.91/128
+        # TFLOP by XLA cost analysis), i.e. the A100 estimate maps to
+        # ~1645 img/s at this config
+        baseline = BASELINE_IMAGES_PER_SEC_PER_CHIP * 18.3
+        metric = "train_images_per_sec_per_chip_coco64_ref_canonical"
     if mode == "ch96":
         # same-hardware anchor rescaled by per-image step FLOPs (ch=96 model
         # ≈ 8.9x the ch=32 step by XLA cost analysis; conv FLOPs scale ~ch²)

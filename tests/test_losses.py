@@ -216,3 +216,13 @@ def test_losses_bf16_inputs_stay_finite():
     labels = jnp.eye(8)
     out = losses.sent_loss(a, b, labels, False, 0.5)
     assert out.dtype == jnp.float32 and bool(jnp.isfinite(out))
+
+
+def test_cosine_scores_dim_mismatch_clear_error():
+    """SENT loss without a shared projection (no IMG_MATCH/SENT_MATCH) must
+    fail at trace time with flag guidance, not a bare dot_general error (the
+    reference crashes the same way, train_gan.py:90)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="DISC.IMG_MATCH or DISC.SENT_MATCH"):
+        losses.cosine_scores(jnp.zeros((4, 512)), jnp.zeros((4, 256)))

@@ -115,6 +115,16 @@ def parse_args(argv=None) -> argparse.Namespace:
                          "pytorch_fid pt_inception-2015-12-05 (same names)")
     cw.add_argument("--out", required=True, help="output .npz path")
 
+    vw = sub.add_parser(
+        "convert-vgg-weights",
+        help="convert a torchvision vgg19 checkpoint (.pth) into a torch-free "
+             ".npz for VGG_WEIGHTS_PATH (ENCODER_LOSS.VGG)",
+    )
+    vw.add_argument("--src", required=True,
+                    help=".pth checkpoint: torchvision vgg19 state_dict "
+                         "(or any dict holding its 'features.*' tensors)")
+    vw.add_argument("--out", required=True, help="output .npz path")
+
     s = sub.add_parser("sample", help="generate images from captions with a "
                                       "trained checkpoint")
     s.add_argument("--cfg", required=True)
@@ -248,6 +258,16 @@ def run_convert_fid_weights(args: argparse.Namespace) -> str:
     return args.out
 
 
+def run_convert_vgg_weights(args: argparse.Namespace) -> str:
+    from xmc_gan_tpu.eval import save_fid_weights_npz
+    from xmc_gan_tpu.models.vgg import vgg19_params_from_torch
+    from xmc_gan_tpu.utils.convert import load_state_dict
+
+    variables = vgg19_params_from_torch(load_state_dict(args.src))
+    save_fid_weights_npz(variables, args.out)
+    return args.out
+
+
 def run_sample(args: argparse.Namespace) -> str:
     """Text -> image with a trained G.  WORD configs tokenize captions with the
     dataset vocabulary (``w2i`` from ``captions.pickle``) through the frozen
@@ -335,6 +355,9 @@ def main(argv=None) -> int:
         return 0
     if args.command == "convert-fid-weights":
         print(run_convert_fid_weights(args))
+        return 0
+    if args.command == "convert-vgg-weights":
+        print(run_convert_vgg_weights(args))
         return 0
     raise AssertionError(args.command)
 

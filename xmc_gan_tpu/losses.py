@@ -65,6 +65,17 @@ def cosine_scores(emb0: Array, emb1: Array) -> Array:
     ``emb0 [B, D] x emb1 [B, D] -> [B, B]``.  Computed in float32 so the
     similarity matrix (and its log-softmax) stays stable under bf16 activations.
     """
+    if emb0.shape[-1] != emb1.shape[-1]:
+        # Trace-time guard: the reference crashes identically (shape error in
+        # the matmul, train_gan.py:90) when ENCODER_LOSS.SENT is on without a
+        # shared projection — every shipped SENT config sets DISC.IMG_MATCH
+        # or DISC.SENT_MATCH so both sides land in the same space.
+        raise ValueError(
+            f"contrastive embeddings have mismatched feature dims "
+            f"{emb0.shape[-1]} vs {emb1.shape[-1]}; with ENCODER_LOSS.SENT "
+            f"set DISC.IMG_MATCH or DISC.SENT_MATCH so image and sentence "
+            f"features share a projection space"
+        )
     emb0 = l2_normalize(emb0.astype(jnp.float32), axis=1)
     emb1 = l2_normalize(emb1.astype(jnp.float32), axis=1)
     return jnp.dot(emb0, emb1.T, preferred_element_type=jnp.float32)

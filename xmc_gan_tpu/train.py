@@ -168,14 +168,16 @@ def make_train_step(
     t = cfg.TRAIN
     el = t.ENCODER_LOSS
     use_labels = el.SENT or el.WORD or el.DISC or el.VGG
+    vgg_model = None
     if el.VGG:
-        # Reference raises NotImplementedError here (train_gan.py:280-282);
-        # WORD — which the reference also leaves unimplemented (:220-222) —
-        # is supported via losses.word_loss + NetD.features_and_regions.
-        raise NotImplementedError(
-            "ENCODER_LOSS.VGG is not implemented (parity with reference "
-            "train_gan.py:281)"
-        )
+        # The reference raises NotImplementedError here (train_gan.py:279-281,
+        # dead `enc_loss += vgg_loss` with no weight); implemented like the
+        # WORD loss: the image-image InfoNCE over frozen VGG-19 features
+        # (models/vgg.py).  The step then takes a 4th argument with the
+        # frozen VGG variables (never part of the train state).
+        from xmc_gan_tpu.models.vgg import VGG19Features
+
+        vgg_model = VGG19Features(dtype=dtype)
     if el.WORD and not hasattr(d_model, "features_and_regions"):
         raise NotImplementedError(
             f"ENCODER_LOSS.WORD needs a discriminator with a region head "
@@ -234,7 +236,14 @@ def make_train_step(
             variables["spectral"] = d_spectral
         return d_model.apply(variables, feats, sent, method="logits")
 
-    def train_step(state: TrainState, batch: dict, rng: Array):
+    def train_step(state: TrainState, batch: dict, rng: Array,
+                   vgg_variables=None):
+        if el.VGG and vgg_variables is None:
+            raise ValueError(
+                "ENCODER_LOSS.VGG is on: pass the frozen VGG-19 variables as "
+                "the step's 4th argument (models.vgg.VGG19Features.init or "
+                "vgg19_params_from_torch)"
+            )
         imgs = batch["imgs"].astype(dtype)
         sent = batch["sent_embs"]
         words = batch.get("words_embs")
@@ -359,10 +368,23 @@ def make_train_step(
                         rf, ff, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL
                     )
                     enc_loss = enc_loss + t.SMOOTH.DISC * disc_loss
+                vgg_loss = jnp.zeros((), jnp.float32)
+                if el.VGG:
+                    # image-image InfoNCE over frozen VGG-19 features; added
+                    # unweighted, matching the reference's dead
+                    # `enc_loss += vgg_loss` (train_gan.py:281)
+                    vgg_real = jax.lax.stop_gradient(
+                        vgg_model.apply(vgg_variables, imgs)
+                    )
+                    vgg_fake = vgg_model.apply(vgg_variables, fake_g)
+                    vgg_loss = losses.img_loss(
+                        vgg_real, vgg_fake, labels, el.B_GLOBAL, t.SMOOTH.GLOBAL
+                    )
+                    enc_loss = enc_loss + vgg_loss
 
                 errG = errG_fake + enc_loss
                 return errG, {"gs_loss": gs_loss, "gs_word": gs_word,
-                              "disc_loss": disc_loss}
+                              "disc_loss": disc_loss, "vgg_loss": vgg_loss}
 
             (errG, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(g_params)
             g_updates, g_opt_state = g_tx.update(g_grads, g_opt_state, g_params)
@@ -373,7 +395,8 @@ def make_train_step(
             g_params, g_opt_state = operand
             zero = jnp.zeros((), jnp.float32)
             return g_params, g_opt_state, zero, {
-                "gs_loss": zero, "gs_word": zero, "disc_loss": zero
+                "gs_loss": zero, "gs_word": zero, "disc_loss": zero,
+                "vgg_loss": zero,
             }
 
         if t.N_CRITIC == 1:
@@ -411,6 +434,8 @@ def make_train_step(
         if el.WORD:
             metrics["ds_word"] = d_aux["ds_word"]
             metrics["gs_word"] = g_aux["gs_word"]
+        if el.VGG:
+            metrics["vgg_loss"] = g_aux["vgg_loss"]
         return new_state, metrics
 
     return train_step

@@ -215,8 +215,44 @@ class Trainer:
         self.logger.info(f"netD # of parameters: {count_params(self.state.d_params)}")
 
         step_fn = make_train_step(cfg, dtype=dtype, mesh=mesh)
+        self._vgg_vars = None
+        if cfg.TRAIN.ENCODER_LOSS.VGG:
+            # frozen VGG-19 for the perceptual contrastive loss; weights from
+            # a torchvision vgg19 checkpoint (VGG_WEIGHTS_PATH), random-init
+            # fallback otherwise (relative objective only — same policy as
+            # the FID extractor).
+            from xmc_gan_tpu.models.vgg import (
+                VGG19Features,
+                vgg19_params_from_torch,
+            )
+
+            vgg = VGG19Features(dtype=dtype)
+            wpath = os.environ.get("VGG_WEIGHTS_PATH", "")
+            if wpath and os.path.isfile(wpath):
+                if wpath.endswith(".npz"):
+                    # torch-free path (``cli convert-vgg-weights``)
+                    from xmc_gan_tpu.eval import load_fid_weights_npz
+
+                    raw = load_fid_weights_npz(wpath)
+                else:
+                    from xmc_gan_tpu.utils.convert import load_state_dict
+
+                    raw = vgg19_params_from_torch(load_state_dict(wpath))
+                self._vgg_vars = jax.tree.map(jnp.asarray, raw)
+                self.logger.info(f"VGG loss: loaded weights from {wpath}")
+            else:
+                dummy = jnp.zeros((1, cfg.IMG.SIZE, cfg.IMG.SIZE, 3), jnp.float32)
+                self._vgg_vars = vgg.init(jax.random.PRNGKey(19), dummy)
+                self.logger.info(
+                    "VGG loss: VGG_WEIGHTS_PATH unset — random-init VGG "
+                    "features (relative objective only)"
+                )
         if mesh is not None:
-            from xmc_gan_tpu.parallel import batch_shardings, state_shardings
+            from xmc_gan_tpu.parallel import (
+                batch_shardings,
+                replicate,
+                state_shardings,
+            )
 
             self._state_sharding = state_shardings(mesh, self.state)
             example = {
@@ -227,17 +263,25 @@ class Trainer:
             }
             self._batch_sharding = batch_shardings(mesh, example)
             self.state = jax.device_put(self.state, self._state_sharding)
+            in_shardings = [self._state_sharding, self._batch_sharding, None]
+            if self._vgg_vars is not None:
+                in_shardings.append(replicate(mesh, self._vgg_vars))
             # out_shardings pins the new state to the same layout as the input
             # so the donated buffers round-trip across steps without reshards.
-            self.step_fn = jax.jit(
+            jitted = jax.jit(
                 step_fn,
-                in_shardings=(self._state_sharding, self._batch_sharding, None),
+                in_shardings=tuple(in_shardings),
                 out_shardings=(self._state_sharding, None),
                 donate_argnums=(0,),
             )
         else:
             self._batch_sharding = None
-            self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
+            jitted = jax.jit(step_fn, donate_argnums=(0,))
+        if self._vgg_vars is not None:
+            vgg_vars = self._vgg_vars
+            self.step_fn = lambda s, b, r: jitted(s, b, r, vgg_vars)
+        else:
+            self.step_fn = jitted
 
         self.ckpt = CheckpointManager(self.model_dir)
         # step-indexed auto-checkpoints for fault tolerance (SURVEY.md §5
