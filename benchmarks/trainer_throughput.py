@@ -1,0 +1,74 @@
+"""End-to-end Trainer throughput on the real chip (synthetic data).
+
+Unlike ``bench.py`` — which times the jitted step in isolation with
+pre-staged device buffers — this measures the *whole* trainer loop:
+loader iteration, text-encode, H2D transfer, step dispatch, and metric
+logging.  The gap between the two numbers is the host-side pipeline
+overhead the trainer's dispatch pipelining is meant to hide.
+
+Usage: python benchmarks/trainer_throughput.py [imsize] [bs] [steps]
+Prints one JSON line with wall-clock images/sec over the timed window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    imsize = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    bs = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmc_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    import tempfile
+
+    from xmc_gan_tpu.config import cfg_from_dict
+    from xmc_gan_tpu.trainer import Trainer
+
+    cfg = cfg_from_dict({
+        "DATASET_NAME": "synthetic", "CONFIG_NAME": "TRAINER_TPUT",
+        "TRAIN": {
+            "NCH": 32, "NEF": 256, "NOISE_DIM": 100, "HE_INIT": True,
+            "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1, "BATCH_SIZE": bs,
+            "LOG_INTERVAL": 10_000,
+            "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
+            "SMOOTH": {"GLOBAL": 0.0},
+        },
+        "IMG": {"SIZE": imsize},
+        "TEXT": {"EMBEDDING_DIM": 256, "MAX_LENGTH": 20, "TYPE": "SENT",
+                 "ENCODER_NAME": "SBERT"},
+        "DISC": {"SPEC_NORM": True, "IMG_MATCH": True},
+    })
+
+    with tempfile.TemporaryDirectory() as root:
+        tr = Trainer(
+            cfg, seed=0, output_root=root, log_type="none", synthetic=True,
+            synthetic_len=bs * (steps + 12), num_threads=4, eval_fid=False,
+            save_after=10**9,
+        )
+        # warmup epoch chunk: compile + first dispatches
+        tr.fit(max_epochs=1, max_steps=8)
+        t0 = time.perf_counter()
+        tr.fit(max_epochs=1, max_steps=steps)
+        dt = time.perf_counter() - t0
+
+    ips = steps * bs / dt
+    print(json.dumps({
+        "metric": f"trainer_wall_images_per_sec_{imsize}px_bs{bs}",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "steps": steps,
+        "wall_s": round(dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

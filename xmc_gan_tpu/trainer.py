@@ -452,6 +452,29 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed + 7)
         steps_done = 0
 
+        # Dispatch pipelining: fetching metrics to host floats blocks until
+        # the step completes, serializing host batch-prep/H2D with device
+        # compute.  Holding each step's metrics on device and fetching them
+        # only after the *next* step is dispatched keeps one step in flight,
+        # so the loader/encode/H2D of batch N+1 overlaps step N on the chip.
+        # Console lines are identical, emitted one step later in wall-clock.
+        pending: tuple | None = None  # (epoch, step1, steps_per_epoch, metrics)
+
+        def flush_pending() -> None:
+            nonlocal pending, last_metrics
+            if pending is None:
+                return
+            p_epoch, p_step, p_spe, p_metrics = pending
+            pending = None
+            last_metrics = {k: float(v) for k, v in p_metrics.items()}
+            self.logger.info(
+                f"[{p_epoch}/{max_epochs}][{p_step}/{p_spe}] "
+                f"Loss_D: {last_metrics['Loss_D']:.3f} "
+                f"Loss_G: {last_metrics['Loss_G']:.3f} "
+                f"errD_real: {last_metrics['errD_real']:.3f} "
+                f"errD_fake: {last_metrics['errD_fake']:.3f} "
+            )
+
         for epoch in range(self.state_epoch + 1, max_epochs + 1):
             self.train_loader.set_epoch(epoch)
             steps_per_epoch = len(self.train_loader)
@@ -479,14 +502,8 @@ class Trainer:
                 # diverge when steps_per_epoch % N_CRITIC != 0, and logging on
                 # the wrong one records zeros from skipped G steps.
                 if self.global_step % cfg.TRAIN.N_CRITIC == 0:
-                    last_metrics = {k: float(v) for k, v in metrics.items()}
-                    self.logger.info(
-                        f"[{epoch}/{max_epochs}][{step + 1}/{steps_per_epoch}] "
-                        f"Loss_D: {last_metrics['Loss_D']:.3f} "
-                        f"Loss_G: {last_metrics['Loss_G']:.3f} "
-                        f"errD_real: {last_metrics['errD_real']:.3f} "
-                        f"errD_fake: {last_metrics['errD_fake']:.3f} "
-                    )
+                    flush_pending()
+                    pending = (epoch, step + 1, steps_per_epoch, metrics)
                 if (step + 1) % cfg.TRAIN.LOG_INTERVAL == 0 and self.rank == 0:
                     # in-epoch sample grid from the current batch's text
                     # (reference fake_samples_{step:03d}.png,
@@ -496,6 +513,9 @@ class Trainer:
                 if max_steps and steps_done >= max_steps:
                     break
 
+            # drain the in-flight step so epoch-end scalars/return see the
+            # true last metrics (and wall-clock rates include its completion)
+            flush_pending()
             # per-epoch scalars: last step's values (reference quirk,
             # train_gan.py:300-321) + throughput
             scalars = {"epoch": epoch, **last_metrics, **meter.rates()}
