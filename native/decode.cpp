@@ -4,9 +4,14 @@
 // torch DataLoader workers).  This library is the TPU framework's native
 // equivalent: libjpeg decode, separable triangle-filter resize (PIL BILINEAR
 // semantics: filter support scales with the downscale factor), random-crop /
-// horizontal-flip, and [-1,1] float32 HWC normalization — one C call per
-// example, invoked from Python worker *threads* (ctypes releases the GIL, so
-// decode overlaps the device step without process pools or pickling).
+// horizontal-flip — one C call per example, invoked from Python worker
+// *threads* (ctypes releases the GIL, so decode overlaps the device step
+// without process pools or pickling).  Output is uint8 HWC: batches cross the
+// host->device boundary as uint8 (4x less transfer than float32) and the
+// [-1,1] ToTensor+Normalize semantics (reference dataset.py:32-37) are applied
+// on device by ops.images.to_unit_range.  This also matches the reference
+// pipeline more closely than float output did: torchvision resizes *PIL uint8*
+// images, so its values are uint8-quantized post-resize too.
 //
 // Exposed C ABI (see xmc_gan_tpu/data/native.py):
 //   xmc_decode_train(jpeg, n, out_size, short_side, u_x, u_y, flip, out)
@@ -134,18 +139,21 @@ void resize_rgb(const uint8_t* src, int w, int h, int out_w, int out_h,
   }
 }
 
-inline float to_unit(float v) { return v * (2.0f / 255.0f) - 1.0f; }
+// Round-to-nearest with clamp, matching PIL's uint8 resize output rounding.
+inline uint8_t to_u8(float v) {
+  return static_cast<uint8_t>(std::min(255.0f, std::max(0.0f, v + 0.5f)));
+}
 
 }  // namespace
 
 extern "C" {
 
 // Train-mode: resize shorter side to short_side, crop out_size^2 at the
-// position given by u_x/u_y in [0,1), optional horizontal flip, normalize.
-// out: float32 [out_size, out_size, 3] in [-1, 1].
+// position given by u_x/u_y in [0,1), optional horizontal flip.
+// out: uint8 [out_size, out_size, 3].
 int xmc_decode_train(const uint8_t* jpeg, size_t n, int out_size,
                      int short_side, double u_x, double u_y, int flip,
-                     float* out) {
+                     uint8_t* out) {
   std::vector<uint8_t> rgb;
   int w, h;
   if (!decode_rgb(jpeg, n, rgb, w, h)) return -1;
@@ -160,29 +168,29 @@ int xmc_decode_train(const uint8_t* jpeg, size_t n, int out_size,
   const int cy = static_cast<int>(u_y * (max_y + 1));
   for (int y = 0; y < out_size; ++y) {
     const float* srow = resized.data() + (static_cast<size_t>(cy + y) * rw + cx) * 3;
-    float* drow = out + static_cast<size_t>(y) * out_size * 3;
+    uint8_t* drow = out + static_cast<size_t>(y) * out_size * 3;
     if (!flip) {
-      for (int i = 0; i < out_size * 3; ++i) drow[i] = to_unit(srow[i]);
+      for (int i = 0; i < out_size * 3; ++i) drow[i] = to_u8(srow[i]);
     } else {
       for (int x = 0; x < out_size; ++x) {
         const float* px = srow + static_cast<size_t>(out_size - 1 - x) * 3;
-        drow[x * 3 + 0] = to_unit(px[0]);
-        drow[x * 3 + 1] = to_unit(px[1]);
-        drow[x * 3 + 2] = to_unit(px[2]);
+        drow[x * 3 + 0] = to_u8(px[0]);
+        drow[x * 3 + 1] = to_u8(px[1]);
+        drow[x * 3 + 2] = to_u8(px[2]);
       }
     }
   }
   return 0;
 }
 
-// Test-mode: exact resize to (out_size, out_size), normalize.
-int xmc_decode_test(const uint8_t* jpeg, size_t n, int out_size, float* out) {
+// Test-mode: exact resize to (out_size, out_size).
+int xmc_decode_test(const uint8_t* jpeg, size_t n, int out_size, uint8_t* out) {
   std::vector<uint8_t> rgb;
   int w, h;
   if (!decode_rgb(jpeg, n, rgb, w, h)) return -1;
   std::vector<float> resized;
   resize_rgb(rgb.data(), w, h, out_size, out_size, resized);
-  for (size_t i = 0; i < resized.size(); ++i) out[i] = to_unit(resized[i]);
+  for (size_t i = 0; i < resized.size(); ++i) out[i] = to_u8(resized[i]);
   return 0;
 }
 

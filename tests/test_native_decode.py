@@ -31,13 +31,12 @@ def test_test_mode_matches_pil():
 
     got = native.decode_test(data, 64)
     assert got is not None and got.shape == (64, 64, 3)
+    assert got.dtype == np.uint8
 
     with Image.open(io.BytesIO(data)) as img:
-        want = np.asarray(
-            img.convert("RGB").resize((64, 64), Image.BILINEAR), np.float32
-        ) / 255.0 * 2 - 1
-    # same decode (both libjpeg); resize filters agree to ~1 LSB of uint8
-    assert np.abs(got - want).max() < 5 / 127.5
+        want = np.asarray(img.convert("RGB").resize((64, 64), Image.BILINEAR))
+    # same decode (both libjpeg); resize filters agree to a few uint8 LSBs
+    assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() < 5
 
 
 def test_train_mode_crop_flip_semantics():
@@ -48,15 +47,15 @@ def test_train_mode_crop_flip_semantics():
     a = native.decode_train(data, 64, 76, u_x=0.0, u_y=0.0, flip=False)
     b = native.decode_train(data, 64, 76, u_x=0.0, u_y=0.0, flip=True)
     assert a is not None and b is not None
-    np.testing.assert_allclose(a, b[:, ::-1, :], atol=1e-6)  # flip = mirror
+    assert a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b[:, ::-1, :])  # flip = mirror
 
     c = native.decode_train(data, 64, 76, u_x=0.999, u_y=0.999, flip=False)
-    assert np.abs(a - c).max() > 0  # different crop offset -> different crop
+    assert np.abs(a.astype(np.int32) - c.astype(np.int32)).max() > 0
 
     # determinism
     a2 = native.decode_train(data, 64, 76, u_x=0.0, u_y=0.0, flip=False)
     np.testing.assert_array_equal(a, a2)
-    assert -1.0 <= a.min() and a.max() <= 1.0
 
 
 def test_corrupt_jpeg_returns_none():
@@ -79,7 +78,7 @@ def test_pipeline_uses_native_and_stays_deterministic(tmp_path):
     a = load_image(str(p), 64, "train", g1)
     b = load_image(str(p), 64, "train", g2)
     np.testing.assert_array_equal(a, b)
-    assert a.shape == (64, 64, 3) and a.dtype == np.float32
+    assert a.shape == (64, 64, 3) and a.dtype == np.uint8
 
     t = load_image(str(p), 64, "test")
     assert t.shape == (64, 64, 3)

@@ -56,13 +56,12 @@ def _load():
         except OSError:
             return None
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        f32p = ctypes.POINTER(ctypes.c_float)
         lib.xmc_decode_train.argtypes = [
             u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
-            ctypes.c_double, ctypes.c_double, ctypes.c_int, f32p,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int, u8p,
         ]
         lib.xmc_decode_train.restype = ctypes.c_int
-        lib.xmc_decode_test.argtypes = [u8p, ctypes.c_size_t, ctypes.c_int, f32p]
+        lib.xmc_decode_test.argtypes = [u8p, ctypes.c_size_t, ctypes.c_int, u8p]
         lib.xmc_decode_test.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -80,15 +79,16 @@ def decode_train(
     jpeg_bytes: bytes, out_size: int, short_side: int,
     u_x: float, u_y: float, flip: bool,
 ) -> np.ndarray | None:
-    """Decode + shorter-side resize + crop(u_x,u_y) + optional flip -> float32
-    HWC in [-1, 1]. Returns None on decode failure (caller falls back)."""
+    """Decode + shorter-side resize + crop(u_x,u_y) + optional flip -> uint8
+    HWC (normalized to [-1,1] on device; see ``ops.images.to_unit_range``).
+    Returns None on decode failure (caller falls back)."""
     lib = _load()
     assert lib is not None
-    out = np.empty((out_size, out_size, 3), np.float32)
+    out = np.empty((out_size, out_size, 3), np.uint8)
     rc = lib.xmc_decode_train(
         _as_u8p(jpeg_bytes), len(jpeg_bytes), out_size, short_side,
         float(u_x), float(u_y), int(flip),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out if rc == 0 else None
 
@@ -96,9 +96,9 @@ def decode_train(
 def decode_test(jpeg_bytes: bytes, out_size: int) -> np.ndarray | None:
     lib = _load()
     assert lib is not None
-    out = np.empty((out_size, out_size, 3), np.float32)
+    out = np.empty((out_size, out_size, 3), np.uint8)
     rc = lib.xmc_decode_test(
         _as_u8p(jpeg_bytes), len(jpeg_bytes), out_size,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out if rc == 0 else None

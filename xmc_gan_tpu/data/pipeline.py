@@ -23,8 +23,12 @@ TPU-first differences from the torch ``DataLoader`` stack:
 * **Static shapes**: captions pad/truncate to ``TEXT.MAX_LENGTH`` exactly as
   ``get_caption`` (``dataset.py:104-111``); batches are fixed-size
   (``drop_last`` on train) so the jitted step never recompiles.
-* **Channels-last float32 in [-1, 1]** (``ToTensor + Normalize(.5,.5)``,
-  ``dataset.py:32-37``) — NHWC is the native TPU layout.
+* **Channels-last uint8 through the wire**: images stay uint8 HWC end-to-end
+  on the host; the ``ToTensor + Normalize(.5,.5)`` mapping to [-1, 1]
+  (``dataset.py:32-37``) happens *on device* (``ops.images.to_unit_range``,
+  fused into the step by XLA).  A 256² bs128 batch is 25 MB over PCIe instead
+  of 100 MB — host->device transfer is the wall-clock bottleneck of the full
+  training loop, not device compute.  NHWC is the native TPU layout.
 * **Threaded decode + device prefetch** replace worker processes: JPEG decode
   and augmentation overlap the device step; no pickling across processes.
 
@@ -102,21 +106,20 @@ def test_transform(img, size: int, rng=None):
     return img.resize((size, size), Image.BILINEAR)
 
 
-def _to_unit_range(img) -> np.ndarray:
-    """uint8 HWC -> float32 NHWC-slice in [-1, 1] (ToTensor + Normalize(.5,.5),
-    reference dataset.py:32-37) — without the CHW transpose: TPU wants NHWC."""
-    arr = np.asarray(img, dtype=np.float32) / 255.0
-    return arr * 2.0 - 1.0
+def _to_uint8_hwc(img) -> np.ndarray:
+    """PIL image -> uint8 HWC array (no CHW transpose: TPU wants NHWC; no
+    normalization: [-1,1] happens on device, ``ops.images.to_unit_range``)."""
+    return np.asarray(img, dtype=np.uint8)
 
 
 def load_image(
     path: str, size: int, mode: str, rng: np.random.Generator | None = None
 ) -> np.ndarray:
-    """Decode + augment one image.  Uses the native C++/libjpeg path when the
-    library builds (``data/native.py``: GIL-free threaded decode, triangle-
-    filter resize); falls back to PIL with identical augmentation semantics.
-    The crop/flip draws come from the same stateless per-example RNG either
-    way."""
+    """Decode + augment one image -> uint8 HWC.  Uses the native C++/libjpeg
+    path when the library builds (``data/native.py``: GIL-free threaded decode,
+    triangle-filter resize); falls back to PIL with identical augmentation
+    semantics.  The crop/flip draws come from the same stateless per-example
+    RNG either way."""
     from xmc_gan_tpu.data import native
 
     if path.lower().endswith((".jpg", ".jpeg")) and native.available():
@@ -143,7 +146,7 @@ def load_image(
             img = train_transform(img, size, rng)
         else:
             img = test_transform(img, size)
-        return _to_unit_range(img)
+        return _to_uint8_hwc(img)
 
 
 # --------------------------------------------------------------------------- #
@@ -263,7 +266,9 @@ class SyntheticDataset:
     def __getitem__(self, args) -> dict[str, Any]:
         idx, epoch, seed = args if isinstance(args, tuple) else (args, 0, 0)
         rng = _example_rng(seed, epoch, idx)
-        img = rng.uniform(-1, 1, (self.img_size, self.img_size, 3)).astype(np.float32)
+        img = rng.integers(
+            0, 256, (self.img_size, self.img_size, 3), dtype=np.uint8
+        )
         cap_len = int(rng.integers(3, self.max_length + 1))
         cap = np.zeros((self.max_length,), np.int64)
         cap[:cap_len] = rng.integers(1, self.voca_size, cap_len)

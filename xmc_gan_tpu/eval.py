@@ -155,7 +155,9 @@ class FidComputer:
 
         @jax.jit
         def raw_features(images):
-            return self.model.apply(self.variables, preprocess(images))
+            from xmc_gan_tpu.ops.images import to_unit_range
+
+            return self.model.apply(self.variables, preprocess(to_unit_range(images)))
 
         if self.pretrained:
             self._features = raw_features
@@ -180,7 +182,8 @@ class FidComputer:
         return FeatureStats(self.DIM)
 
     def update(self, stats: FeatureStats, images) -> None:
-        """``images``: [-1, 1] float NHWC batch (any spatial size)."""
+        """``images``: NHWC batch, uint8 (loader-native; normalized on device)
+        or [-1, 1] float (generator output).  Any spatial size."""
         stats.update(self._features(jnp.asarray(images)))
 
     def fid(self, real: FeatureStats, fake: FeatureStats) -> float:

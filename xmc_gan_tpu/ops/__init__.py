@@ -5,6 +5,7 @@ from xmc_gan_tpu.ops.initializers import (
     zeros_init,
     ones_init,
 )
+from xmc_gan_tpu.ops.images import to_unit_range
 from xmc_gan_tpu.ops.modules import (
     SNConv,
     SNDense,
@@ -15,6 +16,7 @@ from xmc_gan_tpu.ops.modules import (
 )
 
 __all__ = [
+    "to_unit_range",
     "he_normal_fan_in",
     "torch_default_kernel_init",
     "torch_default_bias_init",

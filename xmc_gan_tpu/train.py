@@ -39,6 +39,7 @@ from flax import struct
 
 from xmc_gan_tpu import losses
 from xmc_gan_tpu.config import Config
+from xmc_gan_tpu.ops.images import to_unit_range
 from xmc_gan_tpu.ops.modules import avg_pool
 from xmc_gan_tpu.registry import get_discriminator, get_generator
 
@@ -244,7 +245,9 @@ def make_train_step(
                 "the step's 4th argument (models.vgg.VGG19Features.init or "
                 "vgg19_params_from_torch)"
             )
-        imgs = batch["imgs"].astype(dtype)
+        # loader ships uint8; normalize to [-1,1] on device (fused by XLA).
+        # float inputs (tests, precomputed batches) pass through unchanged.
+        imgs = to_unit_range(batch["imgs"], dtype)
         sent = batch["sent_embs"]
         words = batch.get("words_embs")
         mask = batch.get("mask")

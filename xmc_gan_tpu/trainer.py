@@ -256,7 +256,7 @@ class Trainer:
 
             self._state_sharding = state_shardings(mesh, self.state)
             example = {
-                "imgs": jax.ShapeDtypeStruct((bs, cfg.IMG.SIZE, cfg.IMG.SIZE, 3), jnp.float32),
+                "imgs": jax.ShapeDtypeStruct((bs, cfg.IMG.SIZE, cfg.IMG.SIZE, 3), jnp.uint8),
                 "sent_embs": jax.ShapeDtypeStruct((bs, cfg.TEXT.EMBEDDING_DIM), jnp.float32),
                 "words_embs": jax.ShapeDtypeStruct((bs, cfg.TEXT.MAX_LENGTH, cfg.TEXT.EMBEDDING_DIM), jnp.float32),
                 "mask": jax.ShapeDtypeStruct((bs, cfg.TEXT.MAX_LENGTH), jnp.bool_),

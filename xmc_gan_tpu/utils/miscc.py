@@ -22,8 +22,11 @@ def count_params(tree) -> int:
 
 def to_uint8(imgs: np.ndarray) -> np.ndarray:
     """[-1, 1] float NHWC -> uint8 (reference denorm ``(x+1)*127.5``,
-    ``train_gan.py:369-371``)."""
-    arr = (np.asarray(imgs, np.float32) + 1.0) * 127.5
+    ``train_gan.py:369-371``).  Loader-native uint8 batches pass through."""
+    arr = np.asarray(imgs)
+    if arr.dtype == np.uint8:
+        return arr
+    arr = (arr.astype(np.float32) + 1.0) * 127.5
     return np.clip(arr + 0.5, 0, 255).astype(np.uint8)
 
 
