@@ -6,8 +6,9 @@ loader iteration, text-encode, H2D transfer, step dispatch, and metric
 logging.  The gap between the two numbers is the host-side pipeline
 overhead the trainer's dispatch pipelining is meant to hide.
 
-Usage: python benchmarks/trainer_throughput.py [imsize] [bs] [steps]
-Prints one JSON line with wall-clock images/sec over the timed window.
+Usage: python benchmarks/trainer_throughput.py [imsize] [bs] [steps] [K]
+(K = steps_per_dispatch, default 1.)  Prints one JSON line with wall-clock
+images/sec over the timed window.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ def main() -> None:
     imsize = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    k_disp = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmc_jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -52,7 +54,7 @@ def main() -> None:
         tr = Trainer(
             cfg, seed=0, output_root=root, log_type="none", synthetic=True,
             synthetic_len=bs * (steps + 12), num_threads=4, eval_fid=False,
-            save_after=10**9,
+            save_after=10**9, steps_per_dispatch=k_disp,
         )
         # warmup epoch chunk: compile + first dispatches
         tr.fit(max_epochs=1, max_steps=8)
@@ -62,7 +64,7 @@ def main() -> None:
 
     ips = steps * bs / dt
     print(json.dumps({
-        "metric": f"trainer_wall_images_per_sec_{imsize}px_bs{bs}",
+        "metric": f"trainer_wall_images_per_sec_{imsize}px_bs{bs}_k{k_disp}",
         "value": round(ips, 2),
         "unit": "images/sec",
         "steps": steps,

@@ -124,7 +124,7 @@ def test_trainer_under_mesh(run_dir, eight_devices):
     tr = Trainer(
         cfg, seed=5, output_root=run_dir + "/mesh", log_type="none",
         synthetic=True, synthetic_len=16, save_after=50, num_threads=1,
-        mesh=mesh,
+        mesh=mesh, steps_per_dispatch=2,  # scan window under dp x tp shardings
     )
     metrics = tr.fit(max_epochs=1)
     assert metrics and all(np.isfinite(v) for v in metrics.values())
@@ -143,6 +143,32 @@ def test_cli_train_smoke(run_dir, tmp_path):
     assert rc == 0
     assert glob.glob(f"{tmp_path}/coco64_DF_GAN_DAMSM*/img/fake_samples_epoch_001.png") or \
         glob.glob(f"{tmp_path}/coco64_*_7/img/fake_samples_epoch_001.png")
+
+
+@pytest.mark.slow
+def test_steps_per_dispatch_matches_single_step(run_dir):
+    """K-steps-per-dispatch (lax.scan over staged batches) reproduces the
+    single-step trainer exactly: same final params, same final metrics —
+    including an epoch tail shorter than K (3 steps/epoch, K=2)."""
+    cfg = tiny_cfg()
+    states, finals = [], []
+    for k in (1, 2):
+        tr = Trainer(
+            cfg, seed=13, output_root=f"{run_dir}/disp{k}", log_type="none",
+            synthetic=True, synthetic_len=24, save_after=50, num_threads=1,
+            eval_fid=False, steps_per_dispatch=k,
+        )
+        finals.append(tr.fit(max_epochs=1))  # 24/8 = 3 steps: one full window + tail
+        states.append(tr.state)
+    assert finals[0].keys() == finals[1].keys()
+    for key in finals[0]:
+        np.testing.assert_allclose(
+            finals[0][key], finals[1][key], rtol=1e-5, atol=1e-6, err_msg=key
+        )
+    for a, b in zip(jax.tree.leaves(states[0]), jax.tree.leaves(states[1])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
 
 
 def test_fid_scalar_name_distinguishes_randinit_proxy(run_dir, monkeypatch):

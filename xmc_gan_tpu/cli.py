@@ -51,6 +51,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="write a jax.profiler trace of steps 10-20 here")
     t.add_argument("--save_every_steps", type=int, default=None,
                    help="step-indexed auto-checkpoints for crash recovery")
+    t.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="fuse K optimization steps into one device dispatch "
+                        "(lax.scan) to amortize host round-trips")
     t.add_argument("--resume_auto", action="store_true",
                    help="resume from the newest auto checkpoint")
     t.add_argument("--debug_nans", action="store_true",
@@ -186,6 +189,7 @@ def run_train(args: argparse.Namespace) -> dict:
         dtype={"bf16": jnp.bfloat16, "fp32": jnp.float32, None: None}[args.dtype],
         profile_dir=args.profile_dir,
         save_every_steps=args.save_every_steps,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     trainer.logger.info("Using config:")
     trainer.logger.info(str(cfg.to_dict()))

@@ -132,6 +132,7 @@ class Trainer:
         profile_dir: str | None = None,
         profile_steps: tuple[int, int] = (10, 20),
         save_every_steps: int | None = None,
+        steps_per_dispatch: int = 1,
     ):
         self.cfg = cfg
         self.seed = seed
@@ -282,6 +283,53 @@ class Trainer:
             self.step_fn = lambda s, b, r: jitted(s, b, r, vgg_vars)
         else:
             self.step_fn = jitted
+
+        # K-steps-per-dispatch: a lax.scan over K staged batches amortizes the
+        # per-dispatch host round-trip (dominant under high-latency transports;
+        # also shaves dispatch overhead on directly-attached chips).  Numerics
+        # are the single-step program's exactly — same step_fn, same per-step
+        # RNG stream; metrics come back stacked [K] so the console/scalar
+        # behavior is unchanged.
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
+        self._multi_step = None
+        if self.steps_per_dispatch > 1:
+
+            def multi_step(state, batches, rngs, vgg_variables=None):
+                def body(st, xs):
+                    b, r = xs
+                    if vgg_variables is None:
+                        return step_fn(st, b, r)
+                    return step_fn(st, b, r, vgg_variables)
+
+                return jax.lax.scan(body, state, (batches, rngs))
+
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                from xmc_gan_tpu.parallel import replicate
+
+                # leading K (scan) axis is unsharded; batch axis stays on data
+                mb_shard = jax.tree.map(
+                    lambda ns: NamedSharding(mesh, P(None, *ns.spec)),
+                    self._batch_sharding,
+                )
+                in_sh = [self._state_sharding, mb_shard, None]
+                if self._vgg_vars is not None:
+                    in_sh.append(replicate(mesh, self._vgg_vars))
+                jitted_multi = jax.jit(
+                    multi_step,
+                    in_shardings=tuple(in_sh),
+                    out_shardings=(self._state_sharding, None),
+                    donate_argnums=(0,),
+                )
+            else:
+                jitted_multi = jax.jit(multi_step, donate_argnums=(0,))
+            if self._vgg_vars is not None:
+                vgg_vars = self._vgg_vars
+                self._multi_step = lambda s, b, r: jitted_multi(s, b, r, vgg_vars)
+            else:
+                self._multi_step = jitted_multi
 
         self.ckpt = CheckpointManager(self.model_dir)
         # step-indexed auto-checkpoints for fault tolerance (SURVEY.md §5
@@ -457,23 +505,72 @@ class Trainer:
         # compute.  Holding each step's metrics on device and fetching them
         # only after the *next* step is dispatched keeps one step in flight,
         # so the loader/encode/H2D of batch N+1 overlaps step N on the chip.
-        # Console lines are identical, emitted one step later in wall-clock.
-        pending: tuple | None = None  # (epoch, step1, steps_per_epoch, metrics)
+        # Console lines are identical, emitted one window later in wall-clock.
+        # pending = (metas, metrics, stacked): metas is a list of
+        # (epoch, step1, steps_per_epoch, global_step); when stacked, metric
+        # leaves carry a leading window axis aligned with metas.
+        pending: tuple | None = None
 
         def flush_pending() -> None:
             nonlocal pending, last_metrics
             if pending is None:
                 return
-            p_epoch, p_step, p_spe, p_metrics = pending
+            metas, ms, stacked = pending
             pending = None
-            last_metrics = {k: float(v) for k, v in p_metrics.items()}
-            self.logger.info(
-                f"[{p_epoch}/{max_epochs}][{p_step}/{p_spe}] "
-                f"Loss_D: {last_metrics['Loss_D']:.3f} "
-                f"Loss_G: {last_metrics['Loss_G']:.3f} "
-                f"errD_real: {last_metrics['errD_real']:.3f} "
-                f"errD_fake: {last_metrics['errD_fake']:.3f} "
-            )
+            vals = jax.device_get(ms)  # one transfer for the whole window
+            for i, (p_epoch, p_step, p_spe, gstep) in enumerate(metas):
+                # Gate on the same persisted counter the jitted step uses for
+                # the G update (train.py:337), not the per-epoch index — they
+                # diverge when steps_per_epoch % N_CRITIC != 0, and logging on
+                # the wrong one records zeros from skipped G steps.
+                if gstep % cfg.TRAIN.N_CRITIC != 0:
+                    continue
+                last_metrics = {
+                    k: float(v[i] if stacked else v) for k, v in vals.items()
+                }
+                self.logger.info(
+                    f"[{p_epoch}/{max_epochs}][{p_step}/{p_spe}] "
+                    f"Loss_D: {last_metrics['Loss_D']:.3f} "
+                    f"Loss_G: {last_metrics['Loss_G']:.3f} "
+                    f"errD_real: {last_metrics['errD_real']:.3f} "
+                    f"errD_fake: {last_metrics['errD_fake']:.3f} "
+                )
+
+        K = self.steps_per_dispatch
+        win: list = []  # staged (batch, rng, meta) triples when K > 1
+
+        def run_window() -> None:
+            nonlocal win, pending
+            if not win:
+                return
+            batches = [b for b, _, _ in win]
+            rngs = [r for _, r, _ in win]
+            metas = [m for _, _, m in win]
+            win = []
+            if len(batches) == K and self._multi_step is not None:
+                stacked_b = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+                self.state, ms = self._multi_step(
+                    self.state, stacked_b, jnp.stack(rngs)
+                )
+            else:
+                # epoch tail / max_steps remainder shorter than K: fall back
+                # to single-step dispatches (lazily compiled; never compiled
+                # at all when K divides the epoch)
+                mlist = []
+                for b, r in zip(batches, rngs):
+                    self.state, m = self.step_fn(self.state, b, r)
+                    mlist.append(m)
+                ms = jax.tree.map(lambda *xs: jnp.stack(xs), *mlist)
+            flush_pending()
+            pending = (metas, ms, True)
+            gs_first, gs_last = metas[0][3], metas[-1][3]
+            if self.auto_ckpt and (
+                gs_last // self.save_every_steps
+                > (gs_first - 1) // self.save_every_steps
+            ):
+                # dispatch-granular auto-checkpoint, labeled with the window
+                # boundary step
+                self.auto_ckpt.save(gs_last, self.state)
 
         for epoch in range(self.state_epoch + 1, max_epochs + 1):
             self.train_loader.set_epoch(epoch)
@@ -490,31 +587,43 @@ class Trainer:
                         self.logger.info(f"Profiler trace written to {self.profile_dir}")
                 batch = self._prep_batch(raw)
                 rng, step_rng = jax.random.split(rng)
-                self.state, metrics = self.step_fn(self.state, batch, step_rng)
                 meter.step()
                 self.global_step += 1
                 steps_done += 1
-                if self.auto_ckpt and self.global_step % self.save_every_steps == 0:
-                    self.auto_ckpt.save(self.global_step, self.state)
-
-                # Gate on the same persisted counter the jitted step uses for
-                # the G update (train.py:337), not the per-epoch index — they
-                # diverge when steps_per_epoch % N_CRITIC != 0, and logging on
-                # the wrong one records zeros from skipped G steps.
-                if self.global_step % cfg.TRAIN.N_CRITIC == 0:
-                    flush_pending()
-                    pending = (epoch, step + 1, steps_per_epoch, metrics)
-                if (step + 1) % cfg.TRAIN.LOG_INTERVAL == 0 and self.rank == 0:
+                meta = (epoch, step + 1, steps_per_epoch, self.global_step)
+                hit_max = bool(max_steps and steps_done >= max_steps)
+                grid_due = (
+                    (step + 1) % cfg.TRAIN.LOG_INTERVAL == 0 and self.rank == 0
+                )
+                if K == 1:
+                    self.state, metrics = self.step_fn(self.state, batch, step_rng)
+                    if self.auto_ckpt and self.global_step % self.save_every_steps == 0:
+                        self.auto_ckpt.save(self.global_step, self.state)
+                    if self.global_step % cfg.TRAIN.N_CRITIC == 0:
+                        flush_pending()
+                        pending = ([meta], metrics, False)
+                else:
+                    win.append((batch, step_rng, meta))
+                    if (
+                        len(win) == K
+                        or (step + 1) == steps_per_epoch
+                        or hit_max
+                        or grid_due
+                    ):
+                        run_window()
+                if grid_due:
                     # in-epoch sample grid from the current batch's text
                     # (reference fake_samples_{step:03d}.png,
                     # train_gan.py:297-298; regenerated rather than pulled out
                     # of the jitted step so the hot path returns no images)
                     self._save_step_grid(batch, step + 1)
-                if max_steps and steps_done >= max_steps:
+                if hit_max:
                     break
 
-            # drain the in-flight step so epoch-end scalars/return see the
-            # true last metrics (and wall-clock rates include its completion)
+            # drain staged batches and the in-flight window so epoch-end
+            # scalars/return see the true last metrics (and wall-clock rates
+            # include their completion)
+            run_window()
             flush_pending()
             # per-epoch scalars: last step's values (reference quirk,
             # train_gan.py:300-321) + throughput
