@@ -115,6 +115,19 @@ def test_auto_checkpoint_every_n_steps(run_dir):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_auto_checkpoint_with_dispatch_window(run_dir):
+    """K>1 auto-checkpoints at window boundaries whenever a save interval is
+    crossed inside the window (K=2, save_every_steps=2: boundaries align)."""
+    cfg = tiny_cfg()
+    tr = Trainer(
+        cfg, seed=9, output_root=run_dir + "/auto_k", log_type="none",
+        synthetic=True, synthetic_len=16, save_after=50, num_threads=1,
+        save_every_steps=2, eval_fid=False, steps_per_dispatch=2,
+    )
+    tr.fit(max_epochs=2)  # 4 steps in 2 windows -> saves at steps 2 and 4
+    assert tr.auto_ckpt.all_epochs() == [2, 4]
+
+
 @pytest.mark.slow
 def test_trainer_under_mesh(run_dir, eight_devices):
     from xmc_gan_tpu.parallel import make_mesh
@@ -128,6 +141,31 @@ def test_trainer_under_mesh(run_dir, eight_devices):
     )
     metrics = tr.fit(max_epochs=1)
     assert metrics and all(np.isfinite(v) for v in metrics.values())
+
+
+@pytest.mark.slow
+def test_dispatch_window_with_sharded_word_loss(run_dir, eight_devices):
+    """lax.scan window composed with the shard_map word-region loss — the LN
+    deployment combination (K-dispatch trainer + distributed row-block word
+    scores) compiles and runs finite under the dp x tp mesh."""
+    from xmc_gan_tpu.parallel import make_mesh
+
+    cfg = tiny_cfg(TRAIN={
+        "NCH": 8, "NEF": 32, "NOISE_DIM": 16, "HE_INIT": True,
+        "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1, "BATCH_SIZE": 8,
+        "ENCODER_LOSS": {"SENT": True, "DISC": True, "WORD": True,
+                         "B_GLOBAL": True},
+        "SMOOTH": {"GLOBAL": 0.0, "WORD": 1.0},
+    })
+    mesh = make_mesh(dp=4, tp=2)
+    tr = Trainer(
+        cfg, seed=17, output_root=run_dir + "/mesh_word_k", log_type="none",
+        synthetic=True, synthetic_len=16, save_after=50, num_threads=1,
+        mesh=mesh, steps_per_dispatch=2,
+    )
+    metrics = tr.fit(max_epochs=1)
+    assert metrics and all(np.isfinite(v) for v in metrics.values())
+    assert "ds_word" in metrics and "gs_word" in metrics
 
 
 @pytest.mark.slow
