@@ -294,27 +294,33 @@ class Trainer:
         self._multi_step = None
         if self.steps_per_dispatch > 1:
 
+            K = self.steps_per_dispatch
+
             def multi_step(state, batches, rngs, vgg_variables=None):
-                def body(st, xs):
-                    b, r = xs
+                # batches/rngs: K-tuples, stacked *inside* jit (free — XLA
+                # fuses the concatenation) so staging needs no eager
+                # cross-process stack of multihost global arrays
+                xs = (
+                    jax.tree.map(lambda *x: jnp.stack(x), *batches),
+                    jnp.stack(rngs),
+                )
+
+                def body(st, x):
+                    b, r = x
                     if vgg_variables is None:
                         return step_fn(st, b, r)
                     return step_fn(st, b, r, vgg_variables)
 
-                return jax.lax.scan(body, state, (batches, rngs))
+                return jax.lax.scan(body, state, xs)
 
             if mesh is not None:
-                from jax.sharding import NamedSharding
-                from jax.sharding import PartitionSpec as P
-
                 from xmc_gan_tpu.parallel import replicate
 
-                # leading K (scan) axis is unsharded; batch axis stays on data
-                mb_shard = jax.tree.map(
-                    lambda ns: NamedSharding(mesh, P(None, *ns.spec)),
-                    self._batch_sharding,
-                )
-                in_sh = [self._state_sharding, mb_shard, None]
+                in_sh = [
+                    self._state_sharding,
+                    (self._batch_sharding,) * K,
+                    None,
+                ]
                 if self._vgg_vars is not None:
                     in_sh.append(replicate(mesh, self._vgg_vars))
                 jitted_multi = jax.jit(
@@ -548,9 +554,8 @@ class Trainer:
             metas = [m for _, _, m in win]
             win = []
             if len(batches) == K and self._multi_step is not None:
-                stacked_b = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
                 self.state, ms = self._multi_step(
-                    self.state, stacked_b, jnp.stack(rngs)
+                    self.state, tuple(batches), tuple(rngs)
                 )
             else:
                 # epoch tail / max_steps remainder shorter than K: fall back
