@@ -128,6 +128,20 @@ def parse_args(argv=None) -> argparse.Namespace:
                          "(or any dict holding its 'features.*' tensors)")
     vw.add_argument("--out", required=True, help="output .npz path")
 
+    ex = sub.add_parser(
+        "export-sampler",
+        help="serialize the sampler to a portable multi-platform StableHLO "
+             "artifact (jax.export); params stay call-time inputs so one "
+             "artifact serves every checkpoint of the config",
+    )
+    ex.add_argument("--cfg", required=True)
+    ex.add_argument("--out", required=True, help="artifact output path")
+    ex.add_argument("--bs", type=int, default=0,
+                    help="pin the batch dim (default 0: symbolic — any size)")
+    ex.add_argument("--imsize", type=int, default=-1)
+    ex.add_argument("--platforms", default="cpu,tpu",
+                    help="comma-separated lowering platforms")
+
     s = sub.add_parser("sample", help="generate images from captions with a "
                                       "trained checkpoint")
     s.add_argument("--cfg", required=True)
@@ -324,6 +338,23 @@ def run_sample(args: argparse.Namespace) -> str:
     return args.out
 
 
+def run_export_sampler(args: argparse.Namespace) -> str:
+    import dataclasses
+
+    from xmc_gan_tpu.config import cfg_from_file
+    from xmc_gan_tpu.utils.export import export_sampler, save_sampler
+
+    cfg = cfg_from_file(args.cfg)
+    if args.imsize != -1:
+        cfg = cfg.replace(IMG=dataclasses.replace(cfg.IMG, SIZE=args.imsize))
+    exported, _ = export_sampler(
+        cfg,
+        batch_size=args.bs or None,
+        platforms=tuple(p.strip() for p in args.platforms.split(",") if p.strip()),
+    )
+    return save_sampler(args.out, exported)
+
+
 def run_prep_ln(args: argparse.Namespace) -> dict:
     from xmc_gan_tpu.data.ln_prep import prepare_localized_narratives
 
@@ -362,6 +393,9 @@ def main(argv=None) -> int:
         return 0
     if args.command == "convert-vgg-weights":
         print(run_convert_vgg_weights(args))
+        return 0
+    if args.command == "export-sampler":
+        print(run_export_sampler(args))
         return 0
     raise AssertionError(args.command)
 
