@@ -169,6 +169,47 @@ def test_dispatch_window_with_sharded_word_loss(run_dir, eight_devices):
 
 
 @pytest.mark.slow
+def test_trainer_real_format_dataset(run_dir, tmp_path_factory):
+    """Full trainer on a reference-format on-disk dataset (not synthetic):
+    JPEG decode -> uint8 wire -> device normalize -> frozen RNN encode ->
+    train step.  Covers the path a real COCO run takes."""
+    import pickle
+
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("realds")
+    n, cpi = 8, 5
+    os.makedirs(root / "train")
+    os.makedirs(root / "test")
+    os.makedirs(root / "images")
+    names = [f"im_{i:03d}" for i in range(n)]
+    rng = np.random.RandomState(0)
+    for name in names:
+        arr = rng.randint(0, 255, (80, 70, 3), np.uint8)
+        Image.fromarray(arr).save(root / "images" / f"{name}.jpg")
+    for mode in ("train", "test"):
+        with open(root / mode / "filenames.pickle", "wb") as f:
+            pickle.dump(names, f)
+    i2w = {i: f"w{i}" for i in range(100)}
+    caps = [rng.randint(1, 100, rng.randint(3, 8)).tolist() for _ in range(n * cpi)]
+    with open(root / "captions.pickle", "wb") as f:
+        pickle.dump((caps, caps, i2w, {v: k for k, v in i2w.items()}), f)
+
+    cfg = tiny_cfg(TEXT={
+        "EMBEDDING_DIM": 48, "MAX_LENGTH": 8, "VOCA_SIZE": 100,
+        "ENCODER_NAME": "RNN", "TYPE": "WORD", "CAPTIONS_PER_IMAGE": cpi,
+    })
+    tr = Trainer(
+        cfg, seed=4, output_root=run_dir + "/real", log_type="none",
+        synthetic=False, data_dir=str(root), save_after=50, num_threads=2,
+        eval_fid=False,
+    )
+    metrics = tr.fit(max_epochs=1)  # 8 images / bs 8 = 1 step
+    assert metrics and all(np.isfinite(v) for v in metrics.values())
+    assert int(tr.state.step) == 1
+
+
+@pytest.mark.slow
 def test_cli_train_smoke(run_dir, tmp_path):
     from xmc_gan_tpu import cli
 
