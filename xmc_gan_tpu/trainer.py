@@ -292,6 +292,7 @@ class Trainer:
         # behavior is unchanged.
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self._multi_step = None
+        self._multi_step_calls = 0  # windows dispatched through the scan
         if self.steps_per_dispatch > 1:
 
             K = self.steps_per_dispatch
@@ -543,9 +544,13 @@ class Trainer:
                 )
 
         K = self.steps_per_dispatch
-        win: list = []  # staged (batch, rng, meta) triples when K > 1
+        win: list = []  # staged (batch, rng, meta) triples
 
         def run_window() -> None:
+            # Window boundaries are a pure function of the step index
+            # (len==K, epoch end, max_steps) — NEVER of rank-local state like
+            # grid saves: under multihost every process must issue the same
+            # device programs in the same order or collectives deadlock.
             nonlocal win, pending
             if not win:
                 return
@@ -557,6 +562,12 @@ class Trainer:
                 self.state, ms = self._multi_step(
                     self.state, tuple(batches), tuple(rngs)
                 )
+                stacked = True
+                self._multi_step_calls += 1
+            elif len(batches) == 1:
+                # K == 1, or a one-step tail
+                self.state, ms = self.step_fn(self.state, batches[0], rngs[0])
+                stacked = False
             else:
                 # epoch tail / max_steps remainder shorter than K: fall back
                 # to single-step dispatches (lazily compiled; never compiled
@@ -566,15 +577,17 @@ class Trainer:
                     self.state, m = self.step_fn(self.state, b, r)
                     mlist.append(m)
                 ms = jax.tree.map(lambda *xs: jnp.stack(xs), *mlist)
+                stacked = True
             flush_pending()
-            pending = (metas, ms, True)
+            if any(g % cfg.TRAIN.N_CRITIC == 0 for *_, g in metas):
+                pending = (metas, ms, stacked)
             gs_first, gs_last = metas[0][3], metas[-1][3]
             if self.auto_ckpt and (
                 gs_last // self.save_every_steps
                 > (gs_first - 1) // self.save_every_steps
             ):
                 # dispatch-granular auto-checkpoint, labeled with the window
-                # boundary step
+                # boundary step (exact step when K == 1)
                 self.auto_ckpt.save(gs_last, self.state)
 
         for epoch in range(self.state_epoch + 1, max_epochs + 1):
@@ -600,27 +613,16 @@ class Trainer:
                 grid_due = (
                     (step + 1) % cfg.TRAIN.LOG_INTERVAL == 0 and self.rank == 0
                 )
-                if K == 1:
-                    self.state, metrics = self.step_fn(self.state, batch, step_rng)
-                    if self.auto_ckpt and self.global_step % self.save_every_steps == 0:
-                        self.auto_ckpt.save(self.global_step, self.state)
-                    if self.global_step % cfg.TRAIN.N_CRITIC == 0:
-                        flush_pending()
-                        pending = ([meta], metrics, False)
-                else:
-                    win.append((batch, step_rng, meta))
-                    if (
-                        len(win) == K
-                        or (step + 1) == steps_per_epoch
-                        or hit_max
-                        or grid_due
-                    ):
-                        run_window()
+                win.append((batch, step_rng, meta))
+                if len(win) == K or (step + 1) == steps_per_epoch or hit_max:
+                    run_window()
                 if grid_due:
                     # in-epoch sample grid from the current batch's text
                     # (reference fake_samples_{step:03d}.png,
                     # train_gan.py:297-298; regenerated rather than pulled out
-                    # of the jitted step so the hot path returns no images)
+                    # of the jitted step so the hot path returns no images).
+                    # Under K > 1 the params may lag this step by < K staged
+                    # steps — a progress visualization, not a window flush.
                     self._save_step_grid(batch, step + 1)
                 if hit_max:
                     break
