@@ -92,6 +92,130 @@ print(f"proc {jax.process_index()} loss {val:.6f} word {wv:.6f} ok", flush=True)
 """
 
 
+TRAINER_WORKER = r"""
+import os, sys, tempfile
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.environ["CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORD"],
+    num_processes=2,
+    process_id=int(sys.argv[1]),
+)
+import numpy as np
+from jax.experimental import multihost_utils
+
+from xmc_gan_tpu.config import cfg_from_dict
+from xmc_gan_tpu.parallel import make_mesh
+from xmc_gan_tpu.trainer import Trainer
+
+assert jax.device_count() == 4 and jax.local_device_count() == 2
+
+# On this 1-vCPU container the two processes can skew tens of seconds apart
+# (imports/compiles are serialized); jax.device_put's cross-process
+# consistency check uses a 30s Gloo timeout, so re-align right before the
+# Trainer builds its sharded state.
+multihost_utils.sync_global_devices("pre_trainer_init")
+
+# Minimal model: this test pins cross-process SEQUENCING (window
+# boundaries, grid dispatches, scan across hosts) — loss/SN/MAGP numerics
+# under the mesh are covered by the in-process 8-device tests.  Every
+# distinct multihost program's first dispatch must form a Gloo context
+# within a fixed 30s timeout, and compile skew between the serialized
+# processes counts against it, so compiles must stay well under that.
+cfg = cfg_from_dict({
+    "CONFIG_NAME": "MP_K",
+    "TRAIN": {
+        "NCH": 4, "NEF": 16, "NOISE_DIM": 8, "HE_INIT": True,
+        "RMIS_LOSS": True, "MAGP": False, "N_CRITIC": 1, "BATCH_SIZE": 8,
+        "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
+        "SMOOTH": {"GLOBAL": 0.0},
+        # LOG_INTERVAL stays at the default 1: grid saves are rank-0-local
+        # and must NOT affect the cross-process dispatch sequence
+    },
+    "IMG": {"SIZE": 64},
+    "TEXT": {"EMBEDDING_DIM": 16, "MAX_LENGTH": 4, "VOCA_SIZE": 50,
+             "ENCODER_NAME": "RNN", "TYPE": "WORD"},
+    "DISC": {"SPEC_NORM": False, "IMG_MATCH": True},
+})
+mesh = make_mesh(dp=4, tp=1)
+tr = Trainer(
+    cfg, seed=23, output_root=tempfile.mkdtemp(), log_type="none",
+    synthetic=True, synthetic_len=32, save_after=50, num_threads=1,
+    mesh=mesh, eval_fid=False, steps_per_dispatch=2,
+)
+metrics = tr.fit(max_epochs=1)  # 4 global steps = 2 scan windows
+assert tr._multi_step_calls == 2, tr._multi_step_calls
+assert all(np.isfinite(v) for v in metrics.values()), metrics
+print(f"proc {jax.process_index()} Loss_D {metrics['Loss_D']:.6f} ok", flush=True)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("XMC_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+@pytest.mark.slow
+def test_two_process_trainer_with_dispatch_window(tmp_path):
+    """The full Trainer across 2 real processes with steps_per_dispatch=2:
+    window boundaries must be rank-independent (rank-0 grid saves run every
+    step at LOG_INTERVAL=1) or the processes issue mismatched collective
+    programs and deadlock — the exact failure mode of chopping windows on
+    rank-local events.
+
+    Flake guard: the first dispatch of every distinct multihost program
+    must form a Gloo context within a fixed 30s key-value timeout, and this
+    1-vCPU container serializes the two processes' compiles — a pure
+    environment timeout (DEADLINE_EXCEEDED in Gloo context init) is retried
+    twice.  Real sequencing bugs fail deterministically on every attempt."""
+    script = tmp_path / "trainer_worker.py"
+    script.write_text(TRAINER_WORKER)
+
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ)
+        env["COORD"] = f"localhost:{port}"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["CACHE_DIR"] = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+        )
+        env.pop("JAX_COMPILATION_CACHE_DIR", None)
+        env["PYTHONPATH"] = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), os.pardir)
+        )
+
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(i)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            break
+        gloo_flake = any(
+            "Gloo context initialization failed" in out
+            and "DEADLINE_EXCEEDED" in out
+            for out in outs
+        )
+        if not (gloo_flake and attempt < 2):
+            for i, (p, out) in enumerate(zip(procs, outs)):
+                assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+    for out in outs:
+        assert "ok" in out
+    # replicated metrics agree across processes
+    v0 = [l for l in outs[0].splitlines() if "Loss_D" in l][-1].split()[3]
+    v1 = [l for l in outs[1].splitlines() if "Loss_D" in l][-1].split()[3]
+    assert v0 == v1
+
+
 @pytest.mark.skipif(os.environ.get("XMC_SKIP_MULTIPROC") == "1",
                     reason="multi-process test disabled")
 def test_two_process_global_contrastive_loss(tmp_path):

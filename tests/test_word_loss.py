@@ -279,3 +279,8 @@ def test_word_region_scores_rejects_unsupported_compute_dtype():
     mask = jnp.zeros((2, 3), bool)
     with pytest.raises(ValueError, match="compute_dtype"):
         losses.word_region_scores(regions, words, mask, compute_dtype=jnp.float16)
+    # direct kernel entrypoint rejects it too (not just the losses seam)
+    from xmc_gan_tpu.ops.pallas.damsm_score import damsm_scores
+
+    with pytest.raises(ValueError, match="compute_dtype"):
+        damsm_scores(regions, words, mask, compute_dtype=jnp.float16)

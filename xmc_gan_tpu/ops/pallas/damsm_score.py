@@ -366,6 +366,14 @@ def damsm_scores(
     ``regions`` and ``words`` via the custom VJP kernels above; numerics match
     ``losses.word_region_scores`` (tested in ``tests/test_pallas_ops.py``).
     """
+    if compute_dtype not in (None, jnp.float32, jnp.bfloat16):
+        # The XLA streaming path honors any dtype but this backend only
+        # implements f32/bf16 accumulation — fail loudly rather than let the
+        # two backends silently diverge (e.g. f16 coerced to f32 here).
+        raise ValueError(
+            f"damsm_scores: unsupported compute_dtype {compute_dtype!r}; "
+            "use None, float32, or bfloat16"
+        )
     fn = _make_damsm(
         float(gamma1), float(gamma2),
         compute_dtype == jnp.bfloat16, bool(interpret),

@@ -428,13 +428,28 @@ class Trainer:
         noise = jax.random.normal(
             jax.random.PRNGKey(self.seed + step), (n, self.cfg.TRAIN.NOISE_DIM)
         )
+        # EVERY rank runs the sample: under multihost the params/batch are
+        # global arrays, so a rank-0-only dispatch would be a multi-process
+        # program the other ranks never join (coordination deadlock).  Only
+        # the PNG write is rank-guarded.
         fake = self._sample_fn(
             self.state.g_params, noise, batch["sent_embs"],
             batch.get("words_embs"), batch.get("mask"),
         )
-        save_image_grid(
-            np.asarray(fake), f"{self.img_dir}/fake_samples_{step:03d}.png"
-        )
+        if jax.process_count() > 1 and self.mesh is not None:
+            # rank 0 saves its host-local slice of the batch grid — a
+            # cross-host gather is not worth a collective in a
+            # visualization path
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as P
+
+            fake = multihost_utils.global_array_to_host_local_array(
+                fake, self.mesh, P("data")
+            )
+        if self.rank == 0:
+            save_image_grid(
+                np.asarray(fake), f"{self.img_dir}/fake_samples_{step:03d}.png"
+            )
 
     def sample_fixed_grid(self, epoch: int) -> None:
         if self._fixed is None:
@@ -610,9 +625,9 @@ class Trainer:
                 steps_done += 1
                 meta = (epoch, step + 1, steps_per_epoch, self.global_step)
                 hit_max = bool(max_steps and steps_done >= max_steps)
-                grid_due = (
-                    (step + 1) % cfg.TRAIN.LOG_INTERVAL == 0 and self.rank == 0
-                )
+                # rank-independent: every rank joins the grid sample dispatch
+                # (the PNG write inside is rank-guarded)
+                grid_due = (step + 1) % cfg.TRAIN.LOG_INTERVAL == 0
                 win.append((batch, step_rng, meta))
                 if len(win) == K or (step + 1) == steps_per_epoch or hit_max:
                     run_window()
