@@ -227,6 +227,24 @@ def test_cli_train_smoke(run_dir, tmp_path):
         glob.glob(f"{tmp_path}/coco64_*_7/img/fake_samples_epoch_001.png")
 
 
+def test_cli_platform_flag():
+    """--platform pins jax_platforms at the CONFIG level: required where a
+    sitecustomize pins the platform after reading JAX_PLATFORMS, making the
+    env var a no-op in CLI subprocesses (this container does exactly that,
+    and a downed TPU tunnel then hangs default-platform device init)."""
+    from xmc_gan_tpu import cli
+
+    args = cli.parse_args(["train", "--cfg", "x.yml", "--platform", "cpu"])
+    assert args.platform == "cpu"
+    assert cli.parse_args(["train", "--cfg", "x.yml"]).platform is None
+    assert cli.parse_args(["eval", "--cfg", "x.yml", "--platform", "cpu"]
+                          ).platform == "cpu"
+    # subcommands without the flag don't crash main()'s getattr probe
+    assert not getattr(cli.parse_args(
+        ["convert-fid-weights", "--src", "a", "--out", "b"]
+    ), "platform", None)
+
+
 @pytest.mark.slow
 def test_steps_per_dispatch_matches_single_step(run_dir):
     """K-steps-per-dispatch (lax.scan over staged batches) runs the same

@@ -62,6 +62,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     t.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
     t.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
+    t.add_argument("--platform", default=None,
+                   help="force the JAX platform at the config level (e.g. "
+                        "'cpu' with XLA_FLAGS=--xla_force_host_platform_"
+                        "device_count=N for a simulated mesh); needed where "
+                        "a sitecustomize pins jax_platforms so the "
+                        "JAX_PLATFORMS env var alone is ignored")
 
     e = sub.add_parser("eval", help="FID eval of a checkpoint (reference "
                                     "eval(), train_gan.py:338-396)")
@@ -83,6 +89,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="also write per-key PNGs like the reference eval loop")
     e.add_argument("--bs", type=int, default=-1)
     e.add_argument("--imsize", type=int, default=-1)
+    e.add_argument("--platform", default=None,
+                   help="force the JAX platform at the config level "
+                        "(see train --platform)")
 
     pl = sub.add_parser(
         "prep-ln",
@@ -374,6 +383,14 @@ def run_prep_ln(args: argparse.Namespace) -> dict:
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if getattr(args, "platform", None):
+        # Must run before any backend initializes.  config-level (not env):
+        # container sitecustomize hooks can pin jax_platforms after reading
+        # JAX_PLATFORMS, so the env var alone does not stick (the tests'
+        # conftest.py does the same for the simulated 8-device CPU mesh).
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.command == "train":
         metrics = run_train(args)
         print({k: round(v, 4) for k, v in metrics.items()})
