@@ -44,6 +44,46 @@ MODES = {
 }
 
 
+def _wait_for_backend(deadline_s: float = 1200.0,
+                      probe_timeout_s: float = 180.0) -> None:
+    """Block until the JAX backend actually initializes, or exit nonzero.
+
+    On this image the accelerator plugin can block FOREVER inside device init
+    when its transport/tunnel is down (a C-level connect-retry loop Python
+    cannot interrupt), which would wedge the whole benchmark run with no
+    output.  Probe ``jax.devices()`` in a subprocess with a timeout and retry
+    until the deadline, so a transient outage delays the bench instead of
+    hanging it, and a permanent one fails loudly with a diagnosable message
+    (and no JSON line is emitted for a non-measurement)."""
+    import subprocess
+
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            waited = time.monotonic() - t0
+            if waited + 30 >= deadline_s:
+                sys.exit(
+                    f"bench.py: JAX backend failed to initialize after "
+                    f"{waited:.0f}s / {attempt} attempts ({type(e).__name__})"
+                    " — accelerator transport down?"
+                )
+            print(
+                f"bench.py: backend probe attempt {attempt} failed "
+                f"({type(e).__name__}); retrying",
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(30)
+
+
 def main() -> None:
     import os
 
@@ -52,6 +92,7 @@ def main() -> None:
         sys.exit(
             f"usage: bench.py [{'|'.join(MODES)}]  (unknown mode {mode!r})"
         )
+    _wait_for_backend()
     nch = MODES[mode]["nch"]
     batch_size = MODES[mode]["batch_size"]
     imsize = MODES[mode]["imsize"]
