@@ -186,3 +186,61 @@ def test_netd_spec_norm_variables_exist():
     assert "spectral" in variables
     # eval apply without mutable works (uses stored u/v)
     model.apply(variables, x)
+
+
+def test_fused_upsample_forward_matches_unfused():
+    """fuse_upsample is an exact algebraic restructure: deferring each block's
+    trailing nearest-2x upsample into the next block's first conv (stride-2
+    transposed conv with the folded kernel) must reproduce the reference
+    execution order (df_gan.py:199-204) to float rounding."""
+    cfg = make_cfg(64)
+    rng = jax.random.PRNGKey(7)
+    noise = jax.random.normal(jax.random.PRNGKey(1), (2, 100))
+    sent = jax.random.normal(jax.random.PRNGKey(2), (2, 256))
+    ref_model = df_gan.NetG(cfg, fuse_upsample=False)
+    variables = ref_model.init(rng, noise, sent)  # identical param tree
+    want = ref_model.apply(variables, noise, sent)
+    got = df_gan.NetG(cfg, fuse_upsample=True).apply(variables, noise, sent)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_upsample_gradients_match_unfused():
+    cfg = make_cfg(64)
+    noise = jax.random.normal(jax.random.PRNGKey(3), (2, 100))
+    sent = jax.random.normal(jax.random.PRNGKey(4), (2, 256))
+    variables = df_gan.NetG(cfg, fuse_upsample=False).init(
+        jax.random.PRNGKey(5), noise, sent
+    )
+
+    def loss(params, fuse):
+        out = df_gan.NetG(cfg, fuse_upsample=fuse).apply({"params": params}, noise, sent)
+        return jnp.sum(out * out)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(variables["params"])
+    g_fused = jax.grad(lambda p: loss(p, True))(variables["params"])
+    flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_fused, _ = jax.tree_util.tree_flatten(g_fused)
+    for a, b in zip(flat_ref, flat_fused):
+        a, b = np.asarray(a), np.asarray(b)
+        # reassociation-aware tolerance: absolute floor scaled to the leaf
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=1e-4 * max(np.abs(a).max(), 1.0))
+
+
+def test_fold_upsample_kernel_identity():
+    """conv3x3(pad1)(up2x(x)) == lhs-dilated conv with the folded 4x4 kernel."""
+    from jax import lax
+
+    from xmc_gan_tpu.ops.modules import fold_upsample_kernel, upsample_nearest_2x
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 5, 7, 3), jnp.float32)
+    k3 = jnp.asarray(rs.randn(3, 3, 3, 4), jnp.float32)
+    want = lax.conv_general_dilated(
+        upsample_nearest_2x(x), k3, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = lax.conv_general_dilated(
+        x, fold_upsample_kernel(k3), (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)

@@ -79,13 +79,23 @@ class Affine(nn.Module):
 
 class GBlock(nn.Module):
     """Text-conditional residual up-block (reference ``G_Block``,
-    ``df_gan.py:179-224``)."""
+    ``df_gan.py:179-224``).
+
+    ``pre_upsample`` is the TPU-first execution of the *previous* block's
+    trailing nearest-2x upsample (reference ``df_gan.py:199-204`` applies it
+    after the residual add): modulation+LeakyReLU commute exactly with nearest
+    upsampling, so the two affines before ``c1`` run at 1/4 the elements, the
+    upsample folds into ``c1`` as a stride-2 transposed conv (2.25x fewer
+    FLOPs), and the shortcut's 1x1 conv also runs at the low resolution.  The
+    parameter tree is unchanged.
+    """
 
     in_dim: int
     out_dim: int
     cond_dim: int
     upsample: bool
     he_init: bool
+    pre_upsample: bool = False
 
     @nn.compact
     def __call__(self, x: Array, cond: Array) -> Array:
@@ -97,7 +107,8 @@ class GBlock(nn.Module):
         g0, be0 = Affine(self.in_dim, self.cond_dim, self.he_init, name="affine0")(cond)
         g1, be1 = Affine(self.in_dim, self.cond_dim, self.he_init, name="affine1")(cond)
         h = double_modulate_lrelu(x, g0, be0, g1, be1)
-        h = SNConv(self.out_dim, 3, padding=1, kernel_init=k3_in, bias_init=b3_in, name="c1")(h)
+        h = SNConv(self.out_dim, 3, padding=1, pre_upsample=self.pre_upsample,
+                   kernel_init=k3_in, bias_init=b3_in, name="c1")(h)
 
         g2, be2 = Affine(self.out_dim, self.cond_dim, self.he_init, name="affine2")(cond)
         g3, be3 = Affine(self.out_dim, self.cond_dim, self.he_init, name="affine3")(cond)
@@ -110,6 +121,8 @@ class GBlock(nn.Module):
             sc = SNConv(self.out_dim, 1, kernel_init=k1, bias_init=b1, name="c_sc")(x)
         else:
             sc = x
+        if self.pre_upsample:
+            sc = upsample_nearest_2x(sc)
         out = sc + gate.astype(h.dtype) * h
         if self.upsample:
             out = upsample_nearest_2x(out)
@@ -117,10 +130,18 @@ class GBlock(nn.Module):
 
 
 class NetG(nn.Module):
-    """DF-GAN generator (reference ``NetG``, ``df_gan.py:64-103``)."""
+    """DF-GAN generator (reference ``NetG``, ``df_gan.py:64-103``).
+
+    ``fuse_upsample`` (default on) defers each block's trailing nearest-2x
+    upsample into the next block, where it folds into the first conv — exact
+    math, same parameter tree, measurably less HBM traffic and FLOPs.  The
+    reference arch tables never upsample after the last block
+    (``df_gan.py:9-34``), so every upsample is foldable.
+    """
 
     cfg: Config
     dtype: jnp.dtype = jnp.float32
+    fuse_upsample: bool = True
 
     @property
     def _arch(self) -> dict:
@@ -137,12 +158,20 @@ class NetG(nn.Module):
         if self.needs_sent_proj:
             kp, bp = inits(he, cfg.TEXT.EMBEDDING_DIM)
             self.proj_sent_dense = SNDense(cfg.TRAIN.NEF, kernel_init=kp, bias_init=bp)
+        ups = arch["upsample"]
+        # In fused mode each trailing upsample moves into the following block;
+        # a trailing upsample on the final block (never present in the
+        # reference tables) would have nowhere to fold, so it stays post.
+        fuse = self.fuse_upsample
+        pre = [False] + [fuse and u for u in ups[:-1]]
+        post = [u and not fuse for u in ups[:-1]] + [ups[-1]]
         self.upblocks = [
             GBlock(
                 in_dim=arch["in_channels"][i],
                 out_dim=arch["out_channels"][i],
                 cond_dim=cfg.TRAIN.NEF,
-                upsample=arch["upsample"][i],
+                upsample=post[i],
+                pre_upsample=pre[i],
                 he_init=he,
                 name=f"block{i}",
             )

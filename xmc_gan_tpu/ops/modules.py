@@ -24,6 +24,7 @@ from typing import Callable
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 Array = jax.Array
@@ -31,6 +32,7 @@ Array = jax.Array
 __all__ = [
     "SNConv",
     "SNDense",
+    "fold_upsample_kernel",
     "avg_pool",
     "global_avg_pool",
     "upsample_nearest_2x",
@@ -101,12 +103,40 @@ def _spectral_normalize(module: nn.Module, kernel: Array, out_features: int) -> 
     return jnp.moveaxis(w_sn.reshape((out_features,) + w_shape[:-1]), 0, -1).reshape(w_shape)
 
 
+# Per-axis fold of nearest-2x upsampling into a 3x3/pad-1 convolution: the
+# composed operator is a stride-2 transposed conv whose 4-tap kernel (offsets
+# m = p - 2i in [-1, 2]) sums the 3x3 taps that can reach each output phase.
+# NumPy on purpose — a module-level jnp.array would initialize the JAX
+# backend at import time, breaking late platform selection (dryrun/CLI).
+_UPFOLD_TAPS = np.array(
+    [[0.0, 0.0, 1.0], [0.0, 1.0, 1.0], [1.0, 1.0, 0.0], [1.0, 0.0, 0.0]]
+)
+
+
+def fold_upsample_kernel(kernel: Array) -> Array:
+    """Transform an HWIO 3x3 kernel so that a stride-2 input-dilated conv with
+    the result equals ``conv3x3(pad=1)(upsample_nearest_2x(x))`` exactly.
+
+    The returned 4x4 kernel is pre-flipped for ``lax.conv_general_dilated``
+    with ``lhs_dilation=(2, 2)`` and padding ``((2, 2), (2, 2))``.
+    """
+    taps = jnp.asarray(_UPFOLD_TAPS, kernel.dtype)
+    k4 = jnp.einsum("ma,nb,abio->mnio", taps, taps, kernel)
+    return k4[::-1, ::-1]
+
+
 class SNConv(nn.Module):
     """NHWC 2-D convolution with optional spectral normalization.
 
     TPU-native equivalent of reference ``conv2d_nxn``
     (``model/modules.py:13-18``).  ``padding`` is the symmetric integer pad of
     PyTorch's ``padding=N``.
+
+    ``pre_upsample`` fuses a nearest-2x upsampling of the input into the conv
+    itself (exact algebraic fold — see :func:`fold_upsample_kernel`): the
+    parameters stay an ordinary 3x3 kernel (checkpoint/export compatible) but
+    the upsampled intermediate is never materialized and the conv runs as a
+    2.25x-cheaper stride-2 transposed conv.
     """
 
     features: int
@@ -116,6 +146,7 @@ class SNConv(nn.Module):
     use_bias: bool = True
     feature_group_count: int = 1
     spec_norm: bool = False
+    pre_upsample: bool = False
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable | None = None  # None -> zeros
     param_dtype: jnp.dtype = jnp.float32
@@ -127,6 +158,23 @@ class SNConv(nn.Module):
         kernel = self.param("kernel", self.kernel_init, kshape, self.param_dtype)
         if self.spec_norm:
             kernel = _spectral_normalize(self, kernel, self.features)
+        if self.pre_upsample:
+            if self.kernel_size != 3 or self.strides != 1 or self.padding != 1:
+                raise ValueError("pre_upsample folds only a 3x3/stride-1/pad-1 conv")
+            y = lax.conv_general_dilated(
+                x,
+                fold_upsample_kernel(kernel).astype(x.dtype),
+                window_strides=(1, 1),
+                padding=((2, 2), (2, 2)),
+                lhs_dilation=(2, 2),
+                feature_group_count=self.feature_group_count,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.use_bias:
+                bias_init = self.bias_init or nn.initializers.zeros
+                bias = self.param("bias", bias_init, (self.features,), self.param_dtype)
+                y = y + bias.astype(y.dtype)
+            return y
         kernel = kernel.astype(x.dtype)
         pad = ((self.padding, self.padding), (self.padding, self.padding))
         y = lax.conv_general_dilated(
