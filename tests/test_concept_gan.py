@@ -92,3 +92,24 @@ def test_in_variant_uses_image_query_attention():
     out = blk.apply(v, x, gc, words, mask)
     assert out.shape == (2, 16, 16, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_resblockup_fused_upsample_matches_unfused():
+    """ResBlockUp's pre-conv upsample folds into c1 (and the shortcut's 1x1
+    runs at low resolution) without changing the math."""
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(2, 8, 8, 12), jnp.float32)
+    cond = jnp.asarray(rs.randn(2, 20), jnp.float32)
+    ref_blk = concept_gan.ResBlockUp(
+        in_dim=12, out_dim=8, cond_dim=20, upsample=True, normalize=True,
+        he_init=True, fuse_upsample=False,
+    )
+    variables = ref_blk.init(jax.random.PRNGKey(0), x, cond)
+    want = np.asarray(ref_blk.apply(variables, x, cond))
+    fused_blk = concept_gan.ResBlockUp(
+        in_dim=12, out_dim=8, cond_dim=20, upsample=True, normalize=True,
+        he_init=True, fuse_upsample=True,
+    )
+    got = np.asarray(fused_blk.apply(variables, x, cond))
+    assert got.shape == (2, 16, 16, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -80,3 +80,25 @@ def test_concept_generator_forward_matches_reference(ref_mod, variant, normalize
     got_nchw = np.transpose(np.asarray(got), (0, 3, 1, 2))
     assert got_nchw.shape == want.shape == (2, 3, 64, 64)
     np.testing.assert_allclose(got_nchw, want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["in", "out"])
+def test_concept_fused_upsample_matches_unfused(variant):
+    """The deferred-upsample fold (fuse_upsample) is an exact restructure of
+    the concept generators too: the 1x1 split conv + LeakyReLU commute with
+    nearest upsampling and the grouped 3x3 absorbs the fold."""
+    cfg = cfg_from_dict({
+        "TRAIN": {"NCH": 4, "NEF": 24, "NOISE_DIM": 16, "HE_INIT": True},
+        "IMG": {"SIZE": 64},
+        "TEXT": {"EMBEDDING_DIM": 24},
+        "GEN": {"NORMALIZE": True},
+    })
+    cls = df_concept_gan.InNetG if variant == "in" else df_concept_gan.OutNetG
+    rs = np.random.RandomState(3)
+    noise = jnp.asarray(rs.randn(2, 16), jnp.float32)
+    sent = jnp.asarray(rs.randn(2, 24), jnp.float32)
+    ref_model = cls(cfg, fuse_upsample=False)
+    variables = ref_model.init(jax.random.PRNGKey(0), noise, sent)
+    want = np.asarray(ref_model.apply(variables, noise, sent))
+    got = np.asarray(cls(cfg, fuse_upsample=True).apply(variables, noise, sent))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

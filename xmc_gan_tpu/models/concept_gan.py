@@ -76,6 +76,10 @@ class ResBlockUp(nn.Module):
     upsample: bool
     normalize: bool
     he_init: bool
+    # Fold the pre-conv upsample into c1 as a stride-2 transposed conv and run
+    # the shortcut's 1x1 at the low resolution (1x1 convs commute exactly with
+    # nearest upsampling) — exact math, same parameters.
+    fuse_upsample: bool = True
 
     @nn.compact
     def __call__(self, x: Array, global_cond: Array) -> Array:
@@ -92,23 +96,26 @@ class ResBlockUp(nn.Module):
                 h = _batch_norm(h, scale, bias)
             return nn.relu(gamma[:, None, None, :] * h + beta[:, None, None, :])
 
+        fold = self.upsample and self.fuse_upsample
         out = affine(x, self.in_dim, 1)
-        if self.upsample:
+        if self.upsample and not fold:
             out = upsample_nearest_2x(out)
         k1, b1 = inits(self.he_init, self.in_dim * 9)
-        out = SNConv(self.out_dim, 3, padding=1, kernel_init=k1, bias_init=b1,
-                     name="c1")(out)
+        out = SNConv(self.out_dim, 3, padding=1, pre_upsample=fold,
+                     kernel_init=k1, bias_init=b1, name="c1")(out)
         out = affine(out, self.out_dim, 2)
         k2, b2 = inits(self.he_init, self.out_dim * 9)
         out = SNConv(self.out_dim, 3, padding=1, kernel_init=k2, bias_init=b2,
                      name="c2")(out)
 
         sc = x
-        if self.upsample:
+        if self.upsample and not fold:
             sc = upsample_nearest_2x(sc)
         if self.in_dim != self.out_dim:
             ks, bs_ = inits(self.he_init, self.in_dim)
             sc = SNConv(self.out_dim, 1, kernel_init=ks, bias_init=bs_, name="c_sc")(sc)
+        if fold:
+            sc = upsample_nearest_2x(sc)
         return out + sc
 
 

@@ -190,7 +190,13 @@ class _GammaBetaMLP(nn.Module):
 
 class InConceptBlock(nn.Module):
     """Sentence-conditioned concept block (reference ``InConceptBlock``,
-    ``df_concept_gan.py:159-253``)."""
+    ``df_concept_gan.py:159-253``).
+
+    ``pre_upsample`` executes a deferred nearest-2x upsample of the input here
+    instead of in the previous block: the 1x1 split conv and LeakyReLU commute
+    exactly with nearest upsampling, so they run at 1/4 the elements and the
+    upsample folds into the grouped 3x3 as a stride-2 transposed conv.
+    """
 
     in_dim: int
     cond_dim: int
@@ -199,6 +205,7 @@ class InConceptBlock(nn.Module):
     cardinality: int = CARDINALITY
     bottleneck_width: int = BOTTLENECK
     state_dim: int = STATE_DIM
+    pre_upsample: bool = False
 
     @nn.compact
     def __call__(self, x: Array, sent_embs: Array) -> Array:
@@ -211,6 +218,7 @@ class InConceptBlock(nn.Module):
         h = SNConv(gw, 1, use_bias=False, kernel_init=k1, name="split_conv")(x)
         h = leaky_relu(h)
         h = SNConv(gw, 3, padding=1, use_bias=False, feature_group_count=C,
+                   pre_upsample=self.pre_upsample,
                    kernel_init=k3, name="trans_gconv")(h)
         if self.normalize:
             h = nn.GroupNorm(num_groups=C, epsilon=1e-5, name="gn")(h)
@@ -239,7 +247,10 @@ class InConceptBlock(nn.Module):
 
 class OutConceptBlock(nn.Module):
     """Self-attention concept block with sentence-query context selection
-    (reference ``OutConceptBlock``, ``df_concept_gan.py:421-531``)."""
+    (reference ``OutConceptBlock``, ``df_concept_gan.py:421-531``).
+
+    ``pre_upsample`` — see :class:`InConceptBlock`.
+    """
 
     in_dim: int
     cond_dim: int
@@ -248,6 +259,7 @@ class OutConceptBlock(nn.Module):
     cardinality: int = CARDINALITY
     bottleneck_width: int = BOTTLENECK
     state_dim: int = STATE_DIM
+    pre_upsample: bool = False
 
     @nn.compact
     def __call__(self, x: Array, sent_embs: Array) -> Array:
@@ -261,6 +273,7 @@ class OutConceptBlock(nn.Module):
         h = SNConv(gw, 1, use_bias=False, kernel_init=k1, name="split_conv")(x)
         h = leaky_relu(h)
         h = SNConv(gw, 3, padding=1, use_bias=False, feature_group_count=C,
+                   pre_upsample=self.pre_upsample,
                    kernel_init=k3, name="trans_gconv")(h)
         if self.normalize:
             h = nn.GroupNorm(num_groups=C, epsilon=1e-5, name="gn")(h)
@@ -307,6 +320,7 @@ class _ConceptGBlock(nn.Module):
     normalize: bool
     he_init: bool
     inner: str  # "in" | "out"
+    pre_upsample: bool = False
 
     @nn.compact
     def __call__(self, x: Array, sent_embs: Array) -> Array:
@@ -318,6 +332,7 @@ class _ConceptGBlock(nn.Module):
 
         h = block_cls(in_dim=self.in_dim, cond_dim=self.cond_dim,
                       normalize=self.normalize, he_init=self.he_init,
+                      pre_upsample=self.pre_upsample,
                       name="concept1")(x, sent_embs)
         h = SNConv(self.out_dim, conv_k, padding=pad, kernel_init=kk, bias_init=bb,
                    name="conv_out1")(h)
@@ -334,6 +349,8 @@ class _ConceptGBlock(nn.Module):
             sc = SNConv(self.out_dim, 1, kernel_init=k1, bias_init=b1, name="c_sc")(x)
         else:
             sc = x
+        if self.pre_upsample:
+            sc = upsample_nearest_2x(sc)
         out = gate.astype(h.dtype) * h + sc
         if self.upsample:
             out = upsample_nearest_2x(out)
@@ -347,6 +364,7 @@ class _ConceptNetG(nn.Module):
     cfg: Config
     inner: str = "in"
     dtype: jnp.dtype = jnp.float32
+    fuse_upsample: bool = True
 
     def setup(self):
         cfg = self.cfg
@@ -359,12 +377,20 @@ class _ConceptNetG(nn.Module):
         if self.needs_sent_proj:
             kp, bp = inits(he, cfg.TEXT.EMBEDDING_DIM)
             self.proj_sent_dense = SNDense(cfg.TRAIN.NEF, kernel_init=kp, bias_init=bp)
+        ups = arch["upsample"]
+        # Same deferred-upsample scheme as df_gan.NetG: each trailing upsample
+        # moves into the following block's concept stage, where it folds into
+        # the grouped 3x3 (the tables never upsample after the last block).
+        fuse = self.fuse_upsample
+        pre = [False] + [fuse and u for u in ups[:-1]]
+        post = [u and not fuse for u in ups[:-1]] + [ups[-1]]
         self.upblocks = [
             _ConceptGBlock(
                 in_dim=arch["in_channels"][i],
                 out_dim=arch["out_channels"][i],
                 cond_dim=cfg.TRAIN.NEF,
-                upsample=arch["upsample"][i],
+                upsample=post[i],
+                pre_upsample=pre[i],
                 normalize=cfg.GEN.NORMALIZE,
                 he_init=he,
                 inner=self.inner,
