@@ -244,3 +244,40 @@ def test_fold_upsample_kernel_identity():
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("spec_norm", [False, True])
+def test_resd_fused_downsample_matches_unfused(spec_norm):
+    """The shortcut's 1x1 conv commutes with the 2x2 average pool, so the
+    fused block (pool first, conv at 1/4 the elements) matches the reference
+    ordering bit-for-nearly (same parameters either way)."""
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(2, 16, 16, 12), jnp.float32)
+    ref_blk = df_gan.ResD(in_dim=12, out_dim=24, downsample=True,
+                          spec_norm=spec_norm, he_init=True,
+                          fuse_downsample=False)
+    variables = ref_blk.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(ref_blk.apply(variables, x))
+    fused = df_gan.ResD(in_dim=12, out_dim=24, downsample=True,
+                        spec_norm=spec_norm, he_init=True)
+    got = np.asarray(fused.apply(variables, x))
+    assert got.shape == (2, 8, 8, 24)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_concept_resd_fused_downsample_matches_unfused():
+    from xmc_gan_tpu.models import df_concept_gan
+
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(2, 16, 16, 12), jnp.float32)
+    ref_blk = df_concept_gan.ConceptResD(
+        in_dim=12, out_dim=24, downsample=True, normalize=True,
+        spec_norm=True, he_init=True, fuse_downsample=False)
+    variables = ref_blk.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(ref_blk.apply(variables, x))
+    fused = df_concept_gan.ConceptResD(
+        in_dim=12, out_dim=24, downsample=True, normalize=True,
+        spec_norm=True, he_init=True)
+    got = np.asarray(fused.apply(variables, x))
+    assert got.shape == (2, 8, 8, 24)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -294,3 +294,31 @@ def test_fid_scalar_name_distinguishes_randinit_proxy(run_dir, monkeypatch):
     assert tr.fid_scalar_name == "FID_randinit_proxy"
     tr._fid.pretrained = True
     assert tr.fid_scalar_name == "FID"
+
+
+def test_mid_epoch_crash_resume_is_exact(run_dir):
+    """Auto-resume from a mid-epoch crash replays nothing and skips nothing:
+    the iterator repositions to the exact batch and the per-step RNG is a
+    pure function of the global step, so the continued run is bitwise the
+    run that would have happened without the crash."""
+    cfg = tiny_cfg()
+    kw = dict(
+        cfg=cfg, seed=13, log_type="none", synthetic=True, synthetic_len=32,
+        save_after=50, num_threads=1, eval_fid=False, save_every_steps=1,
+    )
+    # uninterrupted: one epoch = 4 steps
+    full = Trainer(output_root=run_dir + "/full", **kw)
+    full.fit(max_epochs=1)
+    assert int(full.state.step) == 4
+
+    # crashed at step 3 (mid-epoch), then resumed
+    crashed = Trainer(output_root=run_dir + "/crash", **kw)
+    crashed.fit(max_epochs=1, max_steps=3)
+    resumed = Trainer(output_root=run_dir + "/crash", **kw)
+    assert resumed.resume_latest_auto() == 3
+    assert resumed._resume_skip == 3 and resumed.state_epoch == 0
+    resumed.fit(max_epochs=1)
+    assert int(resumed.state.step) == 4
+
+    for a, b in zip(jax.tree.leaves(full.state), jax.tree.leaves(resumed.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

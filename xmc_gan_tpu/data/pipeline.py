@@ -333,9 +333,19 @@ class DataLoader:
                 f"batch_size {batch_size} not divisible by shard_count {self.shard_count}"
             )
         self.epoch = 0
+        self.start_batch = 0
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
+        """Position the next iteration pass.
+
+        ``start_batch`` skips the first N batches of the epoch *before* any
+        decode work (mid-epoch crash resume: the trainer repositions the
+        iterator to the exact batch the restored step count implies, so a
+        resumed run consumes the same example sequence as an uninterrupted
+        one).  Resets to 0 on every call — a skip applies to one pass.
+        """
         self.epoch = epoch
+        self.start_batch = start_batch
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -355,6 +365,11 @@ class DataLoader:
     def __iter__(self) -> Iterator[dict[str, Any]]:
         indices = self._epoch_indices()
         nb = len(self)
+        start = min(self.start_batch, nb)
+        if start:
+            # skip whole batches index-side (no decode of skipped examples)
+            indices = indices[start * self.local_batch :]
+            nb -= start
         epoch, seed = self.epoch, self.seed
 
         def fetch(i: int) -> dict:

@@ -439,6 +439,7 @@ class ConceptResD(nn.Module):
     cardinality: int = CARDINALITY
     bottleneck_width: int = BOTTLENECK
     state_dim: int = STATE_DIM
+    fuse_downsample: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -483,13 +484,15 @@ class ConceptResD(nn.Module):
         out = SNConv(self.out_dim, 1, spec_norm=self.spec_norm,
                      kernel_init=k1o, bias_init=b1o, name="conv_out")(out)
 
+        # Shortcut fold: 1x1 conv commutes exactly with the average pool, so
+        # pool first and run the conv at 1/4 the elements (see df_gan.ResD).
+        fold = self.downsample and self.fuse_downsample
+        sc = avg_pool(x, 2) if fold else x
         if self.in_dim != self.out_dim:
             k1, b1 = inits(self.he_init, self.in_dim)
             sc = SNConv(self.out_dim, 1, spec_norm=self.spec_norm,
-                        kernel_init=k1, bias_init=b1, name="conv_s")(x)
-        else:
-            sc = x
-        if self.downsample:
+                        kernel_init=k1, bias_init=b1, name="conv_s")(sc)
+        if self.downsample and not fold:
             sc = avg_pool(sc, 2)
         gate = self.param("gamma", nn.initializers.zeros, (1,))
         return sc + gate.astype(out.dtype) * out

@@ -215,6 +215,11 @@ class ResD(nn.Module):
     downsample: bool
     spec_norm: bool
     he_init: bool
+    # Run the shortcut's 1x1 conv *after* the 2x2 average pool instead of
+    # before: 1x1 convs commute exactly with average pooling (both linear,
+    # the bias is pool-invariant), so the conv touches 1/4 the elements.
+    # Same parameters, same math — mirrors the G-side deferred-upsample fold.
+    fuse_downsample: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -231,15 +236,15 @@ class ResD(nn.Module):
         )(h)
         h = leaky_relu(h)
 
+        fold = self.downsample and self.fuse_downsample
+        sc = avg_pool(x, 2) if fold else x
         if self.in_dim != self.out_dim:
             k1, b1 = inits(self.he_init, self.in_dim)
             sc = SNConv(
                 self.out_dim, 1, spec_norm=self.spec_norm,
                 kernel_init=k1, bias_init=b1, name="conv_s",
-            )(x)
-        else:
-            sc = x
-        if self.downsample:
+            )(sc)
+        if self.downsample and not fold:
             sc = avg_pool(sc, 2)
         gate = self.param("gamma", nn.initializers.zeros, (1,))
         return sc + gate.astype(h.dtype) * h

@@ -350,6 +350,7 @@ class Trainer:
         )
         self.state_epoch = 0
         self.global_step = 0
+        self._resume_skip = 0  # mid-epoch batches to skip on the first fit epoch
         self._fixed = None
 
     # ------------------------------------------------------------------ #
@@ -364,13 +365,26 @@ class Trainer:
 
     def resume_latest_auto(self) -> int:
         """Restore the newest step-indexed auto-checkpoint (crash recovery).
-        Epoch accounting restarts from the surrounding epoch boundary; the
-        optimizer/step state is exact."""
+
+        Resume is *exact*, not epoch-granular: besides the
+        optimizer/step/params state, ``fit`` repositions the data iterator to
+        the batch the restored step count implies (the loader's per-epoch
+        order is a seeded permutation, so the resumed run consumes the same
+        example sequence as an uninterrupted one), and the per-step RNG is a
+        pure function of the global step — the continued run is the run that
+        would have happened without the crash.
+        """
         assert self.auto_ckpt is not None, "enable save_every_steps first"
         self.state, step = self.auto_ckpt.restore(self.state)
         self.global_step = int(self.state.step)
-        self.state_epoch = self.global_step // max(len(self.train_loader), 1)
-        self.logger.info(f"Load auto checkpoint, step : {step}")
+        spe = max(len(self.train_loader), 1)
+        self.state_epoch = self.global_step // spe
+        self._resume_skip = self.global_step - self.state_epoch * spe
+        self.logger.info(
+            f"Load auto checkpoint, step : {step}"
+            + (f" (mid-epoch: skipping {self._resume_skip} consumed batches)"
+               if self._resume_skip else "")
+        )
         return step
 
     def _prep_batch(self, batch: dict) -> dict:
@@ -519,7 +533,7 @@ class Trainer:
             self._setup_fixed_batch()
         meter = Throughput(cfg.TRAIN.BATCH_SIZE, jax.device_count())
         last_metrics: dict = {}
-        rng = jax.random.PRNGKey(self.seed + 7)
+        base_rng = jax.random.PRNGKey(self.seed + 7)
         steps_done = 0
 
         # Dispatch pipelining: fetching metrics to host floats blocks until
@@ -606,9 +620,14 @@ class Trainer:
                 self.auto_ckpt.save(gs_last, self.state)
 
         for epoch in range(self.state_epoch + 1, max_epochs + 1):
-            self.train_loader.set_epoch(epoch)
+            # mid-epoch crash resume: reposition the iterator to the batch the
+            # restored step count implies (first resumed epoch only); step
+            # numbering continues from there so window/grid/epoch-end
+            # boundaries land exactly where the uninterrupted run's would
+            skip, self._resume_skip = self._resume_skip, 0
+            self.train_loader.set_epoch(epoch, start_batch=skip)
             steps_per_epoch = len(self.train_loader)
-            for step, raw in enumerate(self.train_loader):
+            for step, raw in enumerate(self.train_loader, start=skip):
                 # jax.profiler trace window over warmed-up steps
                 # (SURVEY.md §5 "Tracing / profiling"); host-0 only.
                 if self.profile_dir and self.rank == 0:
@@ -619,9 +638,12 @@ class Trainer:
                         jax.profiler.stop_trace()
                         self.logger.info(f"Profiler trace written to {self.profile_dir}")
                 batch = self._prep_batch(raw)
-                rng, step_rng = jax.random.split(rng)
                 meter.step()
                 self.global_step += 1
+                # per-step RNG as a pure function of the global step (not a
+                # sequential split chain): crash-resume at step N reproduces
+                # exactly the noise stream of an uninterrupted run
+                step_rng = jax.random.fold_in(base_rng, self.global_step)
                 steps_done += 1
                 meta = (epoch, step + 1, steps_per_epoch, self.global_step)
                 hit_max = bool(max_steps and steps_done >= max_steps)
