@@ -322,3 +322,35 @@ def test_mid_epoch_crash_resume_is_exact(run_dir):
 
     for a, b in zip(jax.tree.leaves(full.state), jax.tree.leaves(resumed.state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mid_epoch_crash_resume_exact_with_dispatch_window(run_dir):
+    """Same exactness under K>1 step windows.  A real crash can only leave
+    auto-checkpoints at the crashed run's window boundaries (windows chop at
+    ``len(win) == K``), i.e. at multiples of K — resuming there re-aligns the
+    dispatch-window grid with the uninterrupted run's, so the final state is
+    bitwise identical.  (Resuming from a non-K-aligned step — reachable only
+    via ``max_steps`` chopping a short tail — regroups the remaining steps
+    into different windows and matches only up to compiler-fusion rounding
+    ~1e-7, since the scanned multi-step program and single-step dispatch are
+    separately compiled programs.)"""
+    cfg = tiny_cfg()
+    kw = dict(
+        cfg=cfg, seed=17, log_type="none", synthetic=True, synthetic_len=32,
+        save_after=50, num_threads=1, eval_fid=False, save_every_steps=2,
+        steps_per_dispatch=2,
+    )
+    full = Trainer(output_root=run_dir + "/kfull", **kw)
+    full.fit(max_epochs=1)
+    assert int(full.state.step) == 4
+
+    crashed = Trainer(output_root=run_dir + "/kcrash", **kw)
+    crashed.fit(max_epochs=1, max_steps=2)  # crash at a window boundary
+    resumed = Trainer(output_root=run_dir + "/kcrash", **kw)
+    assert resumed.resume_latest_auto() == 2
+    assert resumed._resume_skip == 2
+    resumed.fit(max_epochs=1)
+    assert int(resumed.state.step) == 4
+
+    for a, b in zip(jax.tree.leaves(full.state), jax.tree.leaves(resumed.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
