@@ -310,6 +310,7 @@ class NetD(nn.Module):
 
     cfg: Config
     dtype: jnp.dtype = jnp.float32
+    fuse_downsample: bool = True  # shortcut 1x1-past-pool fold (see ResD)
 
     def setup(self):
         cfg = self.cfg
@@ -329,6 +330,7 @@ class NetD(nn.Module):
                 downsample=arch["downsample"][i],
                 spec_norm=spec_norm,
                 he_init=he,
+                fuse_downsample=self.fuse_downsample,
                 name=f"block{i}",
             )
             for i in range(1, arch["depth"])
