@@ -54,8 +54,7 @@ def measure(cfg, dtype, bs, imsize, n_steps, fused: bool) -> dict:
     }
 
     cost = step.lower(state, batch, jax.random.PRNGKey(1)).compile().cost_analysis()
-    if isinstance(cost, list):
-        cost = cost[0]
+    cost = cost[0] if isinstance(cost, (list, tuple)) else (cost or {})
 
     key = jax.random.PRNGKey(1)
     for _ in range(2):

@@ -139,3 +139,12 @@ def test_synthetic_dataset_smoke():
     assert b["imgs"].shape == (4, 32, 32, 3)
     assert b["caps"].shape == (4, 6)
     assert b["cap_lens"].min() >= 3
+
+
+def test_loader_start_batch_applies_to_one_pass_only():
+    ds = SyntheticDataset(_cfg(size=8, max_len=3), length=12)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0, num_threads=1)
+    loader.set_epoch(1, start_batch=2)
+    assert len(list(loader)) == 1  # 3 batches, 2 skipped
+    # the skip is consumed: a second pass over the same epoch is full
+    assert len(list(loader)) == 3

@@ -354,3 +354,17 @@ def test_mid_epoch_crash_resume_exact_with_dispatch_window(run_dir):
 
     for a, b in zip(jax.tree.leaves(full.state), jax.tree.leaves(resumed.state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_auto_without_checkpoint_starts_fresh(run_dir):
+    """A crash before the first auto-checkpoint (e.g. during compilation) must
+    not kill the relaunch-on-failure recipe: resume_latest_auto falls back to
+    a fresh start instead of raising."""
+    cfg = tiny_cfg()
+    tr = Trainer(
+        cfg, seed=23, output_root=run_dir + "/fresh", log_type="none",
+        synthetic=True, synthetic_len=16, save_after=50, num_threads=1,
+        eval_fid=False, save_every_steps=2,
+    )
+    assert tr.resume_latest_auto() == 0
+    assert tr.state_epoch == 0 and tr._resume_skip == 0

@@ -365,7 +365,7 @@ class DataLoader:
     def __iter__(self) -> Iterator[dict[str, Any]]:
         indices = self._epoch_indices()
         nb = len(self)
-        start = min(self.start_batch, nb)
+        start, self.start_batch = min(self.start_batch, nb), 0  # one pass only
         if start:
             # skip whole batches index-side (no decode of skipped examples)
             indices = indices[start * self.local_batch :]

@@ -17,7 +17,27 @@ from xmc_gan_tpu.ops.initializers import (
     zeros_init,
 )
 
-__all__ = ["gen_arch", "disc_arch", "concept_gen_arch", "inits"]
+__all__ = [
+    "gen_arch",
+    "disc_arch",
+    "concept_gen_arch",
+    "inits",
+    "split_upsample_schedule",
+]
+
+
+def split_upsample_schedule(ups: list, fuse: bool) -> tuple[list, list]:
+    """(pre, post) per-block upsample schedule for the deferred-upsample fold.
+
+    In fused mode each trailing nearest-2x upsample moves into the *following*
+    block, where it folds into that block's first conv as a stride-2
+    transposed conv; a trailing upsample on the final block (never present in
+    the reference tables) has nowhere to fold, so it stays post.  Shared by
+    every generator family (``df_gan.NetG``, ``df_concept_gan._ConceptNetG``).
+    """
+    pre = [False] + [fuse and u for u in ups[:-1]]
+    post = [u and not fuse for u in ups[:-1]] + [ups[-1]]
+    return pre, post
 
 
 def gen_arch(img_size: int, nch: int) -> dict:

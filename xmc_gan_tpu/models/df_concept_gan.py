@@ -33,7 +33,12 @@ import jax
 import jax.numpy as jnp
 
 from xmc_gan_tpu.config import Config
-from xmc_gan_tpu.models.common import disc_arch, gen_arch, inits
+from xmc_gan_tpu.models.common import (
+    disc_arch,
+    gen_arch,
+    inits,
+    split_upsample_schedule,
+)
 from xmc_gan_tpu.ops.fused import modulate_lrelu
 from xmc_gan_tpu.ops.grouped import GroupedDense
 from xmc_gan_tpu.ops.modules import (
@@ -377,13 +382,9 @@ class _ConceptNetG(nn.Module):
         if self.needs_sent_proj:
             kp, bp = inits(he, cfg.TEXT.EMBEDDING_DIM)
             self.proj_sent_dense = SNDense(cfg.TRAIN.NEF, kernel_init=kp, bias_init=bp)
-        ups = arch["upsample"]
-        # Same deferred-upsample scheme as df_gan.NetG: each trailing upsample
-        # moves into the following block's concept stage, where it folds into
-        # the grouped 3x3 (the tables never upsample after the last block).
-        fuse = self.fuse_upsample
-        pre = [False] + [fuse and u for u in ups[:-1]]
-        post = [u and not fuse for u in ups[:-1]] + [ups[-1]]
+        # deferred-upsample fold: each trailing upsample moves into the next
+        # block's concept stage, folding into the grouped 3x3
+        pre, post = split_upsample_schedule(arch["upsample"], self.fuse_upsample)
         self.upblocks = [
             _ConceptGBlock(
                 in_dim=arch["in_channels"][i],

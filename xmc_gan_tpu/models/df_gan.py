@@ -35,7 +35,13 @@ import jax
 import jax.numpy as jnp
 
 from xmc_gan_tpu.config import Config
-from xmc_gan_tpu.models.common import affine_out_inits, disc_arch, gen_arch, inits
+from xmc_gan_tpu.models.common import (
+    affine_out_inits,
+    disc_arch,
+    gen_arch,
+    inits,
+    split_upsample_schedule,
+)
 from xmc_gan_tpu.ops.fused import double_modulate_lrelu
 from xmc_gan_tpu.ops.modules import (
     SNConv,
@@ -158,13 +164,7 @@ class NetG(nn.Module):
         if self.needs_sent_proj:
             kp, bp = inits(he, cfg.TEXT.EMBEDDING_DIM)
             self.proj_sent_dense = SNDense(cfg.TRAIN.NEF, kernel_init=kp, bias_init=bp)
-        ups = arch["upsample"]
-        # In fused mode each trailing upsample moves into the following block;
-        # a trailing upsample on the final block (never present in the
-        # reference tables) would have nowhere to fold, so it stays post.
-        fuse = self.fuse_upsample
-        pre = [False] + [fuse and u for u in ups[:-1]]
-        post = [u and not fuse for u in ups[:-1]] + [ups[-1]]
+        pre, post = split_upsample_schedule(arch["upsample"], self.fuse_upsample)
         self.upblocks = [
             GBlock(
                 in_dim=arch["in_channels"][i],

@@ -375,6 +375,11 @@ class Trainer:
         would have happened without the crash.
         """
         assert self.auto_ckpt is not None, "enable save_every_steps first"
+        if self.auto_ckpt.latest_epoch() is None:
+            # crash before the first auto-checkpoint (e.g. during compilation):
+            # the relaunch-on-failure recipe must start fresh, not die
+            self.logger.info("No auto checkpoint yet; starting fresh")
+            return 0
         self.state, step = self.auto_ckpt.restore(self.state)
         self.global_step = int(self.state.step)
         spe = max(len(self.train_loader), 1)
