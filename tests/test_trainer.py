@@ -368,3 +368,52 @@ def test_resume_auto_without_checkpoint_starts_fresh(run_dir):
     )
     assert tr.resume_latest_auto() == 0
     assert tr.state_epoch == 0 and tr._resume_skip == 0
+
+
+def test_sigterm_preemption_saves_and_resumes_exactly(run_dir):
+    """SIGTERM during fit() saves an exact step-indexed auto-checkpoint at the
+    next window boundary and exits cleanly; resuming completes to a state
+    bitwise-identical to an uninterrupted run (lossless preemption)."""
+    import signal as _signal
+
+    cfg = tiny_cfg()
+    kw = dict(
+        cfg=cfg, seed=29, log_type="none", synthetic=True, synthetic_len=32,
+        save_after=50, num_threads=1, eval_fid=False, save_every_steps=100,
+    )
+    full = Trainer(output_root=run_dir + "/pfull", **kw)
+    full.fit(max_epochs=1)
+    assert int(full.state.step) == 4
+
+    class KillDuringFetch:
+        """Fires SIGTERM at our own process partway through an epoch."""
+
+        def __init__(self, ds, at_fetch):
+            self._ds, self._at, self._n = ds, at_fetch, 0
+
+        def __len__(self):
+            return len(self._ds)
+
+        def __getitem__(self, key):
+            self._n += 1
+            if self._n == self._at:
+                os.kill(os.getpid(), _signal.SIGTERM)
+            return self._ds[key]
+
+    orig_handler = _signal.getsignal(_signal.SIGTERM)
+    pre = Trainer(output_root=run_dir + "/preempt", **kw)
+    # fire during batch 2's fetch (bs 8): flag lands mid-epoch, far from the
+    # save_every_steps interval, so the saved step comes from preemption
+    pre.train_loader.dataset = KillDuringFetch(pre.train_loader.dataset, 12)
+    pre.fit(max_epochs=1)
+    saved = pre.auto_ckpt.all_epochs()
+    assert saved and saved[-1] < 4  # stopped early at an exact step
+
+    resumed = Trainer(output_root=run_dir + "/preempt", **kw)
+    assert resumed.resume_latest_auto() == saved[-1]
+    resumed.fit(max_epochs=1)
+    assert int(resumed.state.step) == 4
+    for a, b in zip(jax.tree.leaves(full.state), jax.tree.leaves(resumed.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the trainer restored the previous SIGTERM disposition on exit
+    assert _signal.getsignal(_signal.SIGTERM) is orig_handler

@@ -133,6 +133,7 @@ class Trainer:
         profile_steps: tuple[int, int] = (10, 20),
         save_every_steps: int | None = None,
         steps_per_dispatch: int = 1,
+        ckpt_on_preempt: bool = True,
     ):
         self.cfg = cfg
         self.seed = seed
@@ -351,6 +352,18 @@ class Trainer:
         self.state_epoch = 0
         self.global_step = 0
         self._resume_skip = 0  # mid-epoch batches to skip on the first fit epoch
+        # Preemption handling: a SIGTERM during fit() saves an exact
+        # step-indexed auto-checkpoint at the next dispatch-window boundary
+        # and exits cleanly — paired with the exact mid-epoch resume, a
+        # preempted run loses nothing.  Single-process only (signals arrive
+        # per-host; a collective save from one host would deadlock the mesh —
+        # multi-host preemption needs an externally coordinated stop).
+        self.ckpt_on_preempt = (
+            ckpt_on_preempt
+            and self.auto_ckpt is not None
+            and jax.process_count() == 1
+        )
+        self._preempted = False
         self._fixed = None
 
     # ------------------------------------------------------------------ #
@@ -580,6 +593,32 @@ class Trainer:
         K = self.steps_per_dispatch
         win: list = []  # staged (batch, rng, meta) triples
 
+        # Preemption: flag-only from the handler (signal-safe); acted on at
+        # the next window boundary, where the state sits at an exact step.
+        prev_handler = None
+        if self.ckpt_on_preempt:
+            import signal as _signal
+
+            try:
+                prev_handler = _signal.signal(
+                    _signal.SIGTERM,
+                    lambda *_: setattr(self, "_preempted", True),
+                )
+            except ValueError:  # non-main thread: no handler, flag stays manual
+                prev_handler = None
+
+        def preempt_save() -> bool:
+            if not (self.ckpt_on_preempt and self._preempted):
+                return False
+            flush_pending()
+            step_now = int(self.state.step)
+            if self.auto_ckpt.latest_epoch() != step_now:  # not already saved
+                self.auto_ckpt.save(step_now, self.state)
+            self.logger.info(
+                f"Preempted: auto checkpoint saved at step {step_now}; exiting"
+            )
+            return True
+
         def run_window() -> None:
             # Window boundaries are a pure function of the step index
             # (len==K, epoch end, max_steps) — NEVER of rank-local state like
@@ -658,6 +697,8 @@ class Trainer:
                 win.append((batch, step_rng, meta))
                 if len(win) == K or (step + 1) == steps_per_epoch or hit_max:
                     run_window()
+                    if preempt_save():
+                        break
                 if grid_due:
                     # in-epoch sample grid from the current batch's text
                     # (reference fake_samples_{step:03d}.png,
@@ -674,6 +715,9 @@ class Trainer:
             # include their completion)
             run_window()
             flush_pending()
+            if self.ckpt_on_preempt and self._preempted:
+                preempt_save()  # no-op if the boundary check already saved
+                break
             # per-epoch scalars: last step's values (reference quirk,
             # train_gan.py:300-321) + throughput
             scalars = {"epoch": epoch, **last_metrics, **meter.rates()}
@@ -696,4 +740,10 @@ class Trainer:
         self.ckpt.wait()
         if self.auto_ckpt:
             self.auto_ckpt.wait()
+        if prev_handler is not None:
+            import signal as _signal
+
+            # restored on the normal path (incl. preempt exit); an exception
+            # path leaves only the benign flag-setter installed
+            _signal.signal(_signal.SIGTERM, prev_handler)
         return last_metrics
