@@ -360,6 +360,9 @@ class _AttnNetG(nn.Module):
     cfg: Config
     inner: str = "in"
     dtype: jnp.dtype = jnp.float32
+    # ResBlockUp's in-block upsample fold (the attention blocks' mid-block
+    # upsamples cross attention statistics and are never folded)
+    fuse_upsample: bool = True
 
     def setup(self):
         cfg = self.cfg
@@ -384,7 +387,8 @@ class _AttnNetG(nn.Module):
                 blocks.append(ResBlockUp(
                     in_dim=arch["in_channels"][i], out_dim=arch["out_channels"][i],
                     cond_dim=gc_dim, upsample=arch["upsample"][i],
-                    normalize=cfg.GEN.NORMALIZE, he_init=he, name=f"block{i}",
+                    normalize=cfg.GEN.NORMALIZE, he_init=he,
+                    fuse_upsample=self.fuse_upsample, name=f"block{i}",
                 ))
             else:
                 blocks.append(_AttnResBlockUp(
