@@ -99,7 +99,12 @@ def main() -> None:
         "GEN": {"ENCODER_NAME": gen},
         "IMG": {"SIZE": imsize},
         "TEXT": {"EMBEDDING_DIM": 256, "MAX_LENGTH": 20},
-        "DISC": {"SPEC_NORM": True, "IMG_MATCH": True},
+        # match each family's deployed D: concept_out_df_gan.yml pairs
+        # CONCEPT_OUT_DF_GEN with CONCEPT_NETD (the IN variants use DF_DISC),
+        # so the D-side fold numbers reflect a pairing a repo cfg actually runs
+        "DISC": {"SPEC_NORM": True, "IMG_MATCH": True,
+                 **({"ENCODER_NAME": "CONCEPT_NETD"}
+                    if gen == "CONCEPT_OUT_DF_GEN" else {})},
     })
 
     results = [measure(cfg, dtype, bs, imsize, n_steps, fused)

@@ -417,3 +417,35 @@ def test_sigterm_preemption_saves_and_resumes_exactly(run_dir):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # the trainer restored the previous SIGTERM disposition on exit
     assert _signal.getsignal(_signal.SIGTERM) is orig_handler
+
+    # in-process retry on the SAME instance: the preempt flag must not leak
+    # into the next fit() (a stale flag would preempt-exit every retry after
+    # one dispatch window, so a relaunch-in-process loop never completes)
+    assert pre.resume_latest_auto() == saved[-1]
+    pre.fit(max_epochs=1)
+    assert int(pre.state.step) == 4
+    for a, b in zip(jax.tree.leaves(full.state), jax.tree.leaves(pre.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sigterm_handler_restored_when_fit_raises(run_dir):
+    """An exception escaping fit() must not leave the flag-setter installed:
+    a leaked handler makes the whole process silently swallow SIGTERM (the
+    real preemption signal) for the rest of its life."""
+    import signal as _signal
+
+    cfg = tiny_cfg()
+    tr = Trainer(
+        cfg, seed=31, output_root=run_dir + "/raise", log_type="none",
+        synthetic=True, synthetic_len=16, save_after=50, num_threads=1,
+        eval_fid=False,
+    )
+    orig_handler = _signal.getsignal(_signal.SIGTERM)
+
+    def boom(*a, **k):
+        raise RuntimeError("boom")
+
+    tr.step_fn = boom
+    with pytest.raises(RuntimeError, match="boom"):
+        tr.fit(max_epochs=1)
+    assert _signal.getsignal(_signal.SIGTERM) is orig_handler

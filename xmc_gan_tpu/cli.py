@@ -150,6 +150,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     ex.add_argument("--imsize", type=int, default=-1)
     ex.add_argument("--platforms", default="cpu,tpu",
                     help="comma-separated lowering platforms")
+    ex.add_argument("--platform", default=None,
+                    help="force the JAX platform at the config level "
+                         "(see train --platform)")
 
     s = sub.add_parser("sample", help="generate images from captions with a "
                                       "trained checkpoint")
@@ -164,6 +167,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="caption text; repeat for a grid of captions")
     s.add_argument("--n_per_caption", type=int, default=4)
     s.add_argument("--out", default="samples.png")
+    s.add_argument("--platform", default=None,
+                   help="force the JAX platform at the config level "
+                        "(see train --platform)")
 
     return p.parse_args(argv)
 

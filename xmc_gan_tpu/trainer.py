@@ -596,6 +596,7 @@ class Trainer:
         # Preemption: flag-only from the handler (signal-safe); acted on at
         # the next window boundary, where the state sits at an exact step.
         prev_handler = None
+        self._preempted = False  # a prior preempted fit() must not poison this one
         if self.ckpt_on_preempt:
             import signal as _signal
 
@@ -607,16 +608,26 @@ class Trainer:
             except ValueError:  # non-main thread: no handler, flag stays manual
                 prev_handler = None
 
+        preempt_handled = False
+
         def preempt_save() -> bool:
+            nonlocal preempt_handled
             if not (self.ckpt_on_preempt and self._preempted):
                 return False
+            if preempt_handled:  # epoch-tail call after the in-loop one: done
+                return True
             flush_pending()
             step_now = int(self.state.step)
             if self.auto_ckpt.latest_epoch() != step_now:  # not already saved
                 self.auto_ckpt.save(step_now, self.state)
-            self.logger.info(
-                f"Preempted: auto checkpoint saved at step {step_now}; exiting"
-            )
+                self.logger.info(
+                    f"Preempted: auto checkpoint saved at step {step_now}; exiting"
+                )
+            else:
+                self.logger.info(
+                    f"Preempted: step {step_now} already checkpointed; exiting"
+                )
+            preempt_handled = True
             return True
 
         def run_window() -> None:
@@ -663,87 +674,89 @@ class Trainer:
                 # boundary step (exact step when K == 1)
                 self.auto_ckpt.save(gs_last, self.state)
 
-        for epoch in range(self.state_epoch + 1, max_epochs + 1):
-            # mid-epoch crash resume: reposition the iterator to the batch the
-            # restored step count implies (first resumed epoch only); step
-            # numbering continues from there so window/grid/epoch-end
-            # boundaries land exactly where the uninterrupted run's would
-            skip, self._resume_skip = self._resume_skip, 0
-            self.train_loader.set_epoch(epoch, start_batch=skip)
-            steps_per_epoch = len(self.train_loader)
-            for step, raw in enumerate(self.train_loader, start=skip):
-                # jax.profiler trace window over warmed-up steps
-                # (SURVEY.md §5 "Tracing / profiling"); host-0 only.
-                if self.profile_dir and self.rank == 0:
-                    if self.global_step == self.profile_steps[0]:
-                        jax.profiler.start_trace(self.profile_dir)
-                    elif self.global_step == self.profile_steps[1]:
-                        jax.block_until_ready(self.state.step)
-                        jax.profiler.stop_trace()
-                        self.logger.info(f"Profiler trace written to {self.profile_dir}")
-                batch = self._prep_batch(raw)
-                meter.step()
-                self.global_step += 1
-                # per-step RNG as a pure function of the global step (not a
-                # sequential split chain): crash-resume at step N reproduces
-                # exactly the noise stream of an uninterrupted run
-                step_rng = jax.random.fold_in(base_rng, self.global_step)
-                steps_done += 1
-                meta = (epoch, step + 1, steps_per_epoch, self.global_step)
-                hit_max = bool(max_steps and steps_done >= max_steps)
-                # rank-independent: every rank joins the grid sample dispatch
-                # (the PNG write inside is rank-guarded)
-                grid_due = (step + 1) % cfg.TRAIN.LOG_INTERVAL == 0
-                win.append((batch, step_rng, meta))
-                if len(win) == K or (step + 1) == steps_per_epoch or hit_max:
-                    run_window()
-                    if preempt_save():
+        try:
+            for epoch in range(self.state_epoch + 1, max_epochs + 1):
+                # mid-epoch crash resume: reposition the iterator to the batch the
+                # restored step count implies (first resumed epoch only); step
+                # numbering continues from there so window/grid/epoch-end
+                # boundaries land exactly where the uninterrupted run's would
+                skip, self._resume_skip = self._resume_skip, 0
+                self.train_loader.set_epoch(epoch, start_batch=skip)
+                steps_per_epoch = len(self.train_loader)
+                for step, raw in enumerate(self.train_loader, start=skip):
+                    # jax.profiler trace window over warmed-up steps
+                    # (SURVEY.md §5 "Tracing / profiling"); host-0 only.
+                    if self.profile_dir and self.rank == 0:
+                        if self.global_step == self.profile_steps[0]:
+                            jax.profiler.start_trace(self.profile_dir)
+                        elif self.global_step == self.profile_steps[1]:
+                            jax.block_until_ready(self.state.step)
+                            jax.profiler.stop_trace()
+                            self.logger.info(f"Profiler trace written to {self.profile_dir}")
+                    batch = self._prep_batch(raw)
+                    meter.step()
+                    self.global_step += 1
+                    # per-step RNG as a pure function of the global step (not a
+                    # sequential split chain): crash-resume at step N reproduces
+                    # exactly the noise stream of an uninterrupted run
+                    step_rng = jax.random.fold_in(base_rng, self.global_step)
+                    steps_done += 1
+                    meta = (epoch, step + 1, steps_per_epoch, self.global_step)
+                    hit_max = bool(max_steps and steps_done >= max_steps)
+                    # rank-independent: every rank joins the grid sample dispatch
+                    # (the PNG write inside is rank-guarded)
+                    grid_due = (step + 1) % cfg.TRAIN.LOG_INTERVAL == 0
+                    win.append((batch, step_rng, meta))
+                    if len(win) == K or (step + 1) == steps_per_epoch or hit_max:
+                        run_window()
+                        if preempt_save():
+                            break
+                    if grid_due:
+                        # in-epoch sample grid from the current batch's text
+                        # (reference fake_samples_{step:03d}.png,
+                        # train_gan.py:297-298; regenerated rather than pulled out
+                        # of the jitted step so the hot path returns no images).
+                        # Under K > 1 the params may lag this step by < K staged
+                        # steps — a progress visualization, not a window flush.
+                        self._save_step_grid(batch, step + 1)
+                    if hit_max:
                         break
-                if grid_due:
-                    # in-epoch sample grid from the current batch's text
-                    # (reference fake_samples_{step:03d}.png,
-                    # train_gan.py:297-298; regenerated rather than pulled out
-                    # of the jitted step so the hot path returns no images).
-                    # Under K > 1 the params may lag this step by < K staged
-                    # steps — a progress visualization, not a window flush.
-                    self._save_step_grid(batch, step + 1)
-                if hit_max:
+
+                # drain staged batches and the in-flight window so epoch-end
+                # scalars/return see the true last metrics (and wall-clock rates
+                # include their completion)
+                run_window()
+                flush_pending()
+                if self.ckpt_on_preempt and self._preempted:
+                    preempt_save()  # no-op if the boundary check already saved
+                    break
+                # per-epoch scalars: last step's values (reference quirk,
+                # train_gan.py:300-321) + throughput
+                scalars = {"epoch": epoch, **last_metrics, **meter.rates()}
+                self.writer.scalars(epoch, scalars)
+                meter.reset()
+
+                self.sample_fixed_grid(epoch)
+
+                if epoch > self.save_after:
+                    self.ckpt.save(epoch, self.state)
+                    self.logger.info("Save models")
+                    if eval_fn is not None:
+                        eval_fn(self, epoch)
+                    elif self.eval_fid:
+                        fid_value = self.evaluate(epoch)
+                        self.writer.scalars(epoch, {self.fid_scalar_name: fid_value})
+                if max_steps and steps_done >= max_steps:
                     break
 
-            # drain staged batches and the in-flight window so epoch-end
-            # scalars/return see the true last metrics (and wall-clock rates
-            # include their completion)
-            run_window()
-            flush_pending()
-            if self.ckpt_on_preempt and self._preempted:
-                preempt_save()  # no-op if the boundary check already saved
-                break
-            # per-epoch scalars: last step's values (reference quirk,
-            # train_gan.py:300-321) + throughput
-            scalars = {"epoch": epoch, **last_metrics, **meter.rates()}
-            self.writer.scalars(epoch, scalars)
-            meter.reset()
+            self.ckpt.wait()
+            if self.auto_ckpt:
+                self.auto_ckpt.wait()
+        finally:
+            if prev_handler is not None:
+                import signal as _signal
 
-            self.sample_fixed_grid(epoch)
-
-            if epoch > self.save_after:
-                self.ckpt.save(epoch, self.state)
-                self.logger.info("Save models")
-                if eval_fn is not None:
-                    eval_fn(self, epoch)
-                elif self.eval_fid:
-                    fid_value = self.evaluate(epoch)
-                    self.writer.scalars(epoch, {self.fid_scalar_name: fid_value})
-            if max_steps and steps_done >= max_steps:
-                break
-
-        self.ckpt.wait()
-        if self.auto_ckpt:
-            self.auto_ckpt.wait()
-        if prev_handler is not None:
-            import signal as _signal
-
-            # restored on the normal path (incl. preempt exit); an exception
-            # path leaves only the benign flag-setter installed
-            _signal.signal(_signal.SIGTERM, prev_handler)
+                # restored on every exit path, incl. exceptions: a leaked
+                # flag-setter would make the process silently swallow SIGTERM
+                _signal.signal(_signal.SIGTERM, prev_handler)
         return last_metrics
