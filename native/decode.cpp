@@ -41,8 +41,16 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG buffer to 8-bit RGB. Returns false on corrupt input.
+//
+// dct_scale_to > 0 enables DCT-domain scaled decoding (libjpeg scale_num/
+// scale_denom): the IDCT emits the image directly at 1/2, 1/4 or 1/8 size,
+// skipping most of the inverse-transform and color-conversion work.  The
+// denominator is capped so the decoded short side stays >= 2x the resize
+// target — the downstream triangle filter then still averages >= 2 taps per
+// output pixel, which keeps the result within a few uint8 LSBs of the
+// full-resolution path (the same guarantee PIL's Image.draft() relies on).
 bool decode_rgb(const uint8_t* data, size_t n, std::vector<uint8_t>& rgb,
-                int& w, int& h) {
+                int& w, int& h, int dct_scale_to = 0) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -55,6 +63,23 @@ bool decode_rgb(const uint8_t* data, size_t n, std::vector<uint8_t>& rgb,
   jpeg_mem_src(&cinfo, data, n);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (dct_scale_to > 0) {
+    const unsigned int short_in =
+        std::min(cinfo.image_width, cinfo.image_height);
+    unsigned int denom = 1;
+    while (denom < 8 &&
+           short_in / (denom * 2) >=
+               2u * static_cast<unsigned int>(dct_scale_to)) {
+      denom *= 2;
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+    if (denom > 1) {
+      // the >= 2x downstream downscale hides the cheaper chroma upsampling
+      // (JDCT_IFAST measured *slower* than libjpeg-turbo's SIMD ISLOW here)
+      cinfo.do_fancy_upsampling = FALSE;
+    }
+  }
   jpeg_start_decompress(&cinfo);
   w = cinfo.output_width;
   h = cinfo.output_height;
@@ -100,19 +125,30 @@ void build_taps(int in_size, int out_size, std::vector<Taps>& taps) {
   }
 }
 
-// Separable resize of 8-bit RGB to (out_w, out_h) float RGB.
-void resize_rgb(const uint8_t* src, int w, int h, int out_w, int out_h,
-                std::vector<float>& dst) {
+// Separable resize of 8-bit RGB to (out_w, out_h) float RGB, materializing
+// only the crop window [x0, x0+cw) x [y0, y0+ch) of the resized image (dst is
+// (ch, cw, 3)).  The taps are built for the FULL (out_w, out_h) grid, so each
+// produced pixel is bitwise-identical to a full resize followed by a crop —
+// this just skips the resize work outside the crop (a 64-square crop of a
+// 101x76 resize computes ~40% fewer taps; the training pipeline always crops).
+void resize_rgb_crop(const uint8_t* src, int w, int h, int out_w, int out_h,
+                     int x0, int y0, int cw, int ch, std::vector<float>& dst) {
   std::vector<Taps> tx, ty;
   build_taps(w, out_w, tx);
   build_taps(h, out_h, ty);
-  // horizontal pass: (h, out_w, 3)
-  std::vector<float> tmp(static_cast<size_t>(h) * out_w * 3);
-  for (int y = 0; y < h; ++y) {
-    const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
-    float* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
-    for (int x = 0; x < out_w; ++x) {
-      const Taps& t = tx[x];
+  // input-row band the vertical pass needs for output rows [y0, y0+ch)
+  const Taps& tfirst = ty[y0];
+  const Taps& tlast = ty[y0 + ch - 1];
+  const int row_lo = tfirst.lo;
+  const int row_hi = tlast.lo + static_cast<int>(tlast.w.size());
+  const int band = row_hi - row_lo;
+  // horizontal pass over the band, crop columns only: (band, cw, 3)
+  std::vector<float> tmp(static_cast<size_t>(band) * cw * 3);
+  for (int y = 0; y < band; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(row_lo + y) * w * 3;
+    float* trow = tmp.data() + static_cast<size_t>(y) * cw * 3;
+    for (int x = 0; x < cw; ++x) {
+      const Taps& t = tx[x0 + x];
       float acc[3] = {0, 0, 0};
       for (size_t k = 0; k < t.w.size(); ++k) {
         const uint8_t* px = row + static_cast<size_t>(t.lo + k) * 3;
@@ -125,18 +161,25 @@ void resize_rgb(const uint8_t* src, int w, int h, int out_w, int out_h,
       trow[x * 3 + 2] = acc[2];
     }
   }
-  // vertical pass: (out_h, out_w, 3)
-  dst.resize(static_cast<size_t>(out_h) * out_w * 3);
-  for (int y = 0; y < out_h; ++y) {
-    const Taps& t = ty[y];
-    float* drow = dst.data() + static_cast<size_t>(y) * out_w * 3;
-    std::memset(drow, 0, sizeof(float) * out_w * 3);
+  // vertical pass: (ch, cw, 3)
+  dst.resize(static_cast<size_t>(ch) * cw * 3);
+  for (int y = 0; y < ch; ++y) {
+    const Taps& t = ty[y0 + y];
+    float* drow = dst.data() + static_cast<size_t>(y) * cw * 3;
+    std::memset(drow, 0, sizeof(float) * cw * 3);
     for (size_t k = 0; k < t.w.size(); ++k) {
-      const float* trow = tmp.data() + static_cast<size_t>(t.lo + k) * out_w * 3;
+      const float* trow =
+          tmp.data() + static_cast<size_t>(t.lo + k - row_lo) * cw * 3;
       const float wv = t.w[k];
-      for (int i = 0; i < out_w * 3; ++i) drow[i] += wv * trow[i];
+      for (int i = 0; i < cw * 3; ++i) drow[i] += wv * trow[i];
     }
   }
+}
+
+// Full-frame resize (test mode): crop window == whole image.
+void resize_rgb(const uint8_t* src, int w, int h, int out_w, int out_h,
+                std::vector<float>& dst) {
+  resize_rgb_crop(src, w, h, out_w, out_h, 0, 0, out_w, out_h, dst);
 }
 
 // Round-to-nearest with clamp, matching PIL's uint8 resize output rounding.
@@ -150,24 +193,27 @@ extern "C" {
 
 // Train-mode: resize shorter side to short_side, crop out_size^2 at the
 // position given by u_x/u_y in [0,1), optional horizontal flip.
-// out: uint8 [out_size, out_size, 3].
+// fast != 0 enables DCT-scaled decode (see decode_rgb; exact-output mode
+// when 0).  out: uint8 [out_size, out_size, 3].
 int xmc_decode_train(const uint8_t* jpeg, size_t n, int out_size,
                      int short_side, double u_x, double u_y, int flip,
-                     uint8_t* out) {
+                     int fast, uint8_t* out) {
   std::vector<uint8_t> rgb;
   int w, h;
-  if (!decode_rgb(jpeg, n, rgb, w, h)) return -1;
+  if (!decode_rgb(jpeg, n, rgb, w, h, fast ? short_side : 0)) return -1;
   const double scale = static_cast<double>(short_side) / std::min(w, h);
   int rw = std::max(short_side, static_cast<int>(std::lround(w * scale)));
   int rh = std::max(short_side, static_cast<int>(std::lround(h * scale)));
   if (rw < out_size || rh < out_size) return -2;
-  std::vector<float> resized;
-  resize_rgb(rgb.data(), w, h, rw, rh, resized);
   const int max_x = rw - out_size, max_y = rh - out_size;
   const int cx = static_cast<int>(u_x * (max_x + 1));
   const int cy = static_cast<int>(u_y * (max_y + 1));
+  // resize only the crop window (bitwise-equal to resize-then-crop)
+  std::vector<float> resized;
+  resize_rgb_crop(rgb.data(), w, h, rw, rh, cx, cy, out_size, out_size,
+                  resized);
   for (int y = 0; y < out_size; ++y) {
-    const float* srow = resized.data() + (static_cast<size_t>(cy + y) * rw + cx) * 3;
+    const float* srow = resized.data() + static_cast<size_t>(y) * out_size * 3;
     uint8_t* drow = out + static_cast<size_t>(y) * out_size * 3;
     if (!flip) {
       for (int i = 0; i < out_size * 3; ++i) drow[i] = to_u8(srow[i]);
@@ -184,10 +230,11 @@ int xmc_decode_train(const uint8_t* jpeg, size_t n, int out_size,
 }
 
 // Test-mode: exact resize to (out_size, out_size).
-int xmc_decode_test(const uint8_t* jpeg, size_t n, int out_size, uint8_t* out) {
+int xmc_decode_test(const uint8_t* jpeg, size_t n, int out_size, int fast,
+                    uint8_t* out) {
   std::vector<uint8_t> rgb;
   int w, h;
-  if (!decode_rgb(jpeg, n, rgb, w, h)) return -1;
+  if (!decode_rgb(jpeg, n, rgb, w, h, fast ? out_size : 0)) return -1;
   std::vector<float> resized;
   resize_rgb(rgb.data(), w, h, out_size, out_size, resized);
   for (size_t i = 0; i < resized.size(); ++i) out[i] = to_u8(resized[i]);

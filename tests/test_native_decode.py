@@ -57,6 +57,48 @@ def test_train_mode_crop_flip_semantics():
     a2 = native.decode_train(data, 64, 76, u_x=0.0, u_y=0.0, flip=False)
     np.testing.assert_array_equal(a, a2)
 
+    # crop-fused resize: shifting the crop by exactly one resized column must
+    # reproduce the overlapping columns bitwise (each output pixel's taps are
+    # built on the full resize grid, independent of the crop window)
+    # h=100,w=80 -> rw=76,rh=95, max_x=12: u_x in [1/13, 2/13) lands cx=1
+    d = native.decode_train(data, 64, 76, u_x=1.5 / 13, u_y=0.0, flip=False)
+    np.testing.assert_array_equal(a[:, 1:], d[:, :-1])
+
+
+def test_dct_scaled_decode_matches_exact_path():
+    """DCT-scaled decode (large source, small target) stays within a few
+    uint8 LSBs of the exact full-resolution path: the denominator cap keeps
+    >= 2x oversampling for the triangle filter, so the only difference is
+    IDCT-scaling's own low-pass, which the subsequent >= 2x downscale hides."""
+    rng = np.random.RandomState(3)
+    # smooth-ish content (realistic for photos; pure noise would overstate
+    # the difference because JPEG itself destroys noise at any quality)
+    base = rng.randint(0, 255, (40, 30, 3), np.uint8)
+    from PIL import Image
+
+    big = np.asarray(
+        Image.fromarray(base).resize((480, 640), Image.BILINEAR)
+    )  # 640x480: typical COCO size; short side 480 >= 4*76 -> scaling engages
+    data = _jpeg_bytes(big, quality=90)
+
+    exact = native.decode_train(data, 64, 76, 0.25, 0.25, False, fast=False)
+    fast = native.decode_train(data, 64, 76, 0.25, 0.25, False, fast=True)
+    assert exact is not None and fast is not None
+    diff = np.abs(exact.astype(np.int32) - fast.astype(np.int32))
+    assert diff.max() <= 6 and diff.mean() < 1.0
+
+    et = native.decode_test(data, 64, fast=False)
+    ft = native.decode_test(data, 64, fast=True)
+    dt = np.abs(et.astype(np.int32) - ft.astype(np.int32))
+    assert dt.max() <= 6 and dt.mean() < 1.0
+
+    # below the 4x threshold the scaled path IS the exact path (bitwise)
+    small = _jpeg_bytes(big[:200, :150], quality=90)  # short side 150 < 4*76
+    np.testing.assert_array_equal(
+        native.decode_train(small, 64, 76, 0.5, 0.5, False, fast=True),
+        native.decode_train(small, 64, 76, 0.5, 0.5, False, fast=False),
+    )
+
 
 def test_corrupt_jpeg_returns_none():
     assert native.decode_test(b"not a jpeg at all", 64) is None

@@ -58,10 +58,12 @@ def _load():
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.xmc_decode_train.argtypes = [
             u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
-            ctypes.c_double, ctypes.c_double, ctypes.c_int, u8p,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_int, u8p,
         ]
         lib.xmc_decode_train.restype = ctypes.c_int
-        lib.xmc_decode_test.argtypes = [u8p, ctypes.c_size_t, ctypes.c_int, u8p]
+        lib.xmc_decode_test.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, u8p,
+        ]
         lib.xmc_decode_test.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -75,9 +77,17 @@ def _as_u8p(buf: bytes):
     return ctypes.cast(ctypes.c_char_p(buf), ctypes.POINTER(ctypes.c_uint8))
 
 
+# DCT-scaled decode (libjpeg scale_denom) is on by default: it only engages
+# when the source is >= 4x the resize target on the short side (the C side
+# keeps >= 2x oversampling for the triangle filter), staying within a few
+# uint8 LSBs of the exact path while skipping most IDCT work on large COCO
+# photos.  XMC_DCT_SCALE=0 forces the exact full-resolution decode.
+_FAST = os.environ.get("XMC_DCT_SCALE", "1") != "0"
+
+
 def decode_train(
     jpeg_bytes: bytes, out_size: int, short_side: int,
-    u_x: float, u_y: float, flip: bool,
+    u_x: float, u_y: float, flip: bool, fast: bool | None = None,
 ) -> np.ndarray | None:
     """Decode + shorter-side resize + crop(u_x,u_y) + optional flip -> uint8
     HWC (normalized to [-1,1] on device; see ``ops.images.to_unit_range``).
@@ -88,17 +98,21 @@ def decode_train(
     rc = lib.xmc_decode_train(
         _as_u8p(jpeg_bytes), len(jpeg_bytes), out_size, short_side,
         float(u_x), float(u_y), int(flip),
+        int(_FAST if fast is None else fast),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out if rc == 0 else None
 
 
-def decode_test(jpeg_bytes: bytes, out_size: int) -> np.ndarray | None:
+def decode_test(
+    jpeg_bytes: bytes, out_size: int, fast: bool | None = None
+) -> np.ndarray | None:
     lib = _load()
     assert lib is not None
     out = np.empty((out_size, out_size, 3), np.uint8)
     rc = lib.xmc_decode_test(
         _as_u8p(jpeg_bytes), len(jpeg_bytes), out_size,
+        int(_FAST if fast is None else fast),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out if rc == 0 else None
