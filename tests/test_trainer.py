@@ -239,6 +239,14 @@ def test_cli_platform_flag():
     assert cli.parse_args(["train", "--cfg", "x.yml"]).platform is None
     assert cli.parse_args(["eval", "--cfg", "x.yml", "--platform", "cpu"]
                           ).platform == "cpu"
+    # every JAX-touching subcommand has the escape hatch
+    assert cli.parse_args(
+        ["sample", "--cfg", "x.yml", "--data_dir", "d", "--caption", "c",
+         "--platform", "cpu"]
+    ).platform == "cpu"
+    assert cli.parse_args(
+        ["export-sampler", "--cfg", "x.yml", "--out", "o", "--platform", "cpu"]
+    ).platform == "cpu"
     # subcommands without the flag don't crash main()'s getattr probe
     assert not getattr(cli.parse_args(
         ["convert-fid-weights", "--src", "a", "--out", "b"]
