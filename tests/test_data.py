@@ -130,6 +130,29 @@ def test_loader_shuffle_determinism_and_epoch_reshuffle(disk_dataset):
     assert first != other
 
 
+def test_loader_batches_invariant_to_thread_count(disk_dataset):
+    """Thread count is a throughput knob, never a semantics knob: per-example
+    augmentation RNG is a pure function of (index, epoch, seed) and batches
+    are emitted strictly in order, so any num_threads yields bitwise-identical
+    batches (this is also what makes crash-resume exact on any host size)."""
+    root, _, _, _ = disk_dataset
+    ds = WordTextDataset(root, "train", _cfg())
+    loaders = [
+        DataLoader(ds, 4, shuffle=True, drop_last=True, seed=3, num_threads=n)
+        for n in (1, 2, 5)
+    ]
+    for ld in loaders:
+        ld.set_epoch(2)
+    ref = list(loaders[0])
+    for ld in loaders[1:]:
+        got = list(ld)
+        assert len(got) == len(ref)
+        for a, b in zip(ref, got):
+            assert a.keys() == b.keys()
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
 def test_synthetic_dataset_smoke():
     ds = SyntheticDataset(_cfg(size=32, max_len=6), length=10)
     loader = DataLoader(ds, 4, shuffle=True, drop_last=True, seed=0)
