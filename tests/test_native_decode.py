@@ -100,6 +100,36 @@ def test_dct_scaled_decode_matches_exact_path():
     )
 
 
+def test_pil_fallback_draft_matches_exact(tmp_path, monkeypatch):
+    """The PIL fallback mirrors the native DCT-scaled decode via
+    Image.draft() with the same >= 2x oversampling request, staying within a
+    few LSBs of the exact PIL decode; XMC_DCT_SCALE=0 disables it there too."""
+    from PIL import Image
+
+    from xmc_gan_tpu.data import pipeline
+
+    rng = np.random.RandomState(4)
+    base = rng.randint(0, 255, (40, 30, 3), np.uint8)
+    big = np.asarray(Image.fromarray(base).resize((640, 480), Image.BILINEAR))
+    p = tmp_path / "big.jpg"
+    Image.fromarray(big).save(p, quality=90)
+
+    monkeypatch.setattr(native, "available", lambda: False)  # force PIL path
+    monkeypatch.setenv("XMC_DCT_SCALE", "0")
+    exact = pipeline.load_image(str(p), 64, "test")
+    g_e = np.random.default_rng(3)
+    exact_tr = pipeline.load_image(str(p), 64, "train", g_e)
+    monkeypatch.setenv("XMC_DCT_SCALE", "1")
+    fast = pipeline.load_image(str(p), 64, "test")
+    g_f = np.random.default_rng(3)
+    fast_tr = pipeline.load_image(str(p), 64, "train", g_f)
+
+    d = np.abs(exact.astype(np.int32) - fast.astype(np.int32))
+    assert d.max() <= 6 and d.mean() < 1.0
+    dt = np.abs(exact_tr.astype(np.int32) - fast_tr.astype(np.int32))
+    assert dt.max() <= 6 and dt.mean() < 1.0
+
+
 def test_corrupt_jpeg_returns_none():
     assert native.decode_test(b"not a jpeg at all", 64) is None
     assert native.decode_train(b"\xff\xd8\xff\xe0garbage", 64, 76, 0.5, 0.5, 0) is None

@@ -140,6 +140,12 @@ def load_image(
     from PIL import Image
 
     with Image.open(path) as img:
+        if img.format == "JPEG" and os.environ.get("XMC_DCT_SCALE", "1") != "0":
+            # mirror the native path's DCT-scaled decode (data/native.py):
+            # request >= 2x the resize target so the BILINEAR filter keeps
+            # >= 2x oversampling; draft() only ever downscales in the IDCT
+            t = 2 * (int(size * 76 / 64) if mode == "train" else size)
+            img.draft("RGB", (t, t))
         img = img.convert("RGB")
         if mode == "train":
             assert rng is not None
