@@ -146,6 +146,34 @@ def test_trainer_under_mesh(run_dir, eight_devices):
 
 
 @pytest.mark.slow
+def test_checkpoint_cross_topology_resume(run_dir, eight_devices):
+    """A checkpoint written under one mesh restores bitwise onto a smaller
+    mesh and onto a single device: production preemption can hand back a
+    different pod slice, and Orbax reshards to the restore template's
+    shardings (``utils/checkpoint.py`` builds the abstract tree from the
+    target state, so the source topology never constrains the target)."""
+    from xmc_gan_tpu.parallel import make_mesh
+
+    cfg = tiny_cfg()
+    kw = dict(
+        cfg=cfg, seed=41, log_type="none", synthetic=True, synthetic_len=16,
+        save_after=0, num_threads=1, eval_fid=False,
+    )
+    src = Trainer(output_root=run_dir + "/xtopo", mesh=make_mesh(dp=4, tp=2), **kw)
+    src.fit(max_epochs=1)  # save_after=0: epoch-1 checkpoint written
+    src.ckpt.wait()
+
+    for label, mesh in (
+        ("dp2xtp2", make_mesh(dp=2, tp=2)),  # first 4 of the 8 devices
+        ("single", None),
+    ):
+        dst = Trainer(output_root=run_dir + "/xtopo", mesh=mesh, **kw)
+        assert dst.resume(1) == 1
+        for a, b in zip(jax.tree.leaves(src.state), jax.tree.leaves(dst.state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=label)
+
+
+@pytest.mark.slow
 def test_dispatch_window_with_sharded_word_loss(run_dir, eight_devices):
     """lax.scan window composed with the shard_map word-region loss — the LN
     deployment combination (K-dispatch trainer + distributed row-block word
