@@ -22,6 +22,11 @@ empirical curves, ``/root/reference/xmc_gan/train_gan.py:292-321``).
 Usage: python benchmarks/toy_learn.py [STEPS] [BS] [NCH] [GRID_PATH]
 (default 2000 64 32 none).  Prints one JSON line per eval point, then a
 summary verdict comparing the final third of the run against the init point.
+``--gen NAME`` trains a different registered generator family (e.g.
+CONCEPT_OUTATTN_GEN / CONCEPT_INATTN_GEN, whose blocks cross-attend image
+queries over the word embeddings — the only families where caption words
+reach G through attention rather than the sentence vector), so the same
+learning-dynamics evidence covers the G-side masked-attention gradient path.
 With GRID_PATH set, saves a visual artifact: row pairs of (real render of a
 caption, generated image for that caption) for 16 held-out captions.
 """
@@ -49,7 +54,7 @@ EVAL_N = 256  # held-out captions per eval point
 EMB_DIM = 256
 
 
-def build_cfg(nch: int, bs: int, word: bool = False):
+def build_cfg(nch: int, bs: int, word: bool = False, gen: str = "DF_GEN"):
     # reference hyperparameters (cfg/df_gan_damsm.yml): G lr 1e-4 / D 4e-4,
     # betas (0, 0.9), MAGP + RMIS + SENT + DISC, B_GLOBAL soft labels.
     # word=True additionally turns on XMC's word-region attentional loss
@@ -65,6 +70,7 @@ def build_cfg(nch: int, bs: int, word: bool = False):
         },
         "IMG": {"SIZE": 64},
         "TEXT": {"EMBEDDING_DIM": EMB_DIM, "MAX_LENGTH": 8},
+        "GEN": {"ENCODER_NAME": gen},
         "DISC": {"SPEC_NORM": True, "IMG_MATCH": True},
     })
 
@@ -84,12 +90,17 @@ def make_batch(rng: np.random.RandomState, bs: int) -> dict:
 def main() -> None:
     use_word = "--word" in sys.argv[1:]
     args = [a for a in sys.argv[1:] if a != "--word"]
+    gen = "DF_GEN"
+    if "--gen" in args:
+        gi = args.index("--gen")
+        gen = args[gi + 1]
+        del args[gi:gi + 2]
     steps = int(args[0]) if len(args) > 0 else 2000
     bs = int(args[1]) if len(args) > 1 else 64
     nch = int(args[2]) if len(args) > 2 else 32
     eval_every = max(steps // 10, 1)
 
-    cfg = build_cfg(nch, bs, use_word)
+    cfg = build_cfg(nch, bs, use_word, gen)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     g_model, d_model = make_models(cfg, dtype)
     state = create_train_state(cfg, jax.random.PRNGKey(100))
@@ -98,8 +109,10 @@ def main() -> None:
     )
 
     @jax.jit
-    def sample(g_params, noise, sent):
-        return g_model.apply({"params": g_params}, noise, sent)
+    def sample(g_params, noise, sent, words, mask):
+        # words/mask are ignored by DF_GEN and consumed by the attention
+        # families — one signature covers every registered generator
+        return g_model.apply({"params": g_params}, noise, sent, words, mask)
 
     @jax.jit
     def d_logit(g_params, d_params, spectral, imgs, sent):
@@ -115,8 +128,8 @@ def main() -> None:
     erng = np.random.RandomState(9)
     eval_attrs = toy.sample_attrs(erng, EVAL_N)
     ecaps, _ = toy.make_captions(eval_attrs)
-    _, esent, _ = toy.encode_captions(ecaps, EMB_DIM)
-    esent = jnp.asarray(esent)
+    ewords, esent, emask = toy.encode_captions(ecaps, EMB_DIM)
+    ewords, esent, emask = map(jnp.asarray, (ewords, esent, emask))
     ereal = jnp.asarray(toy.render(eval_attrs))
     enoise = jax.random.normal(jax.random.PRNGKey(5), (EVAL_N, cfg.TRAIN.NOISE_DIM))
 
@@ -127,7 +140,9 @@ def main() -> None:
     fid.update(real_stats, ereal)
 
     def evaluate(state):
-        fake = np.asarray(sample(state.g_params, enoise, esent), np.float32)
+        fake = np.asarray(
+            sample(state.g_params, enoise, esent, ewords, emask), np.float32
+        )
         color = toy.classify_color(fake)
         pos = toy.classify_position(fake)
         matched = d_logit(
@@ -187,7 +202,9 @@ def main() -> None:
 
         n_show = 16
         fake = np.asarray(
-            sample(state.g_params, enoise[:n_show], esent[:n_show]), np.float32
+            sample(state.g_params, enoise[:n_show], esent[:n_show],
+                   ewords[:n_show], emask[:n_show]),
+            np.float32,
         )
         real = np.asarray(ereal[:n_show], np.float32)
         # alternate real / generated per caption: columns pair up in the grid
@@ -197,7 +214,7 @@ def main() -> None:
               f"{grid_path}", flush=True)
 
     verdict = {
-        "steps": steps, "bs": bs, "nch": nch,
+        "steps": steps, "bs": bs, "nch": nch, "gen": gen,
         "train_seconds": round(dt, 1),
         "img_per_sec": round(steps * bs / dt, 1),
         "color_acc_init": round(init["color_acc"], 3),
