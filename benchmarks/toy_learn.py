@@ -54,11 +54,21 @@ EVAL_N = 256  # held-out captions per eval point
 EMB_DIM = 256
 
 
-def build_cfg(nch: int, bs: int, word: bool = False, gen: str = "DF_GEN"):
+def build_cfg(nch: int, bs: int, word: bool = False, gen: str = "DF_GEN",
+              disc: str = "DF_DISC"):
     # reference hyperparameters (cfg/df_gan_damsm.yml): G lr 1e-4 / D 4e-4,
     # betas (0, 0.9), MAGP + RMIS + SENT + DISC, B_GLOBAL soft labels.
     # word=True additionally turns on XMC's word-region attentional loss
     # (the north-star objective) over the D's 16x16 region head.
+    # disc=CONCEPT_NETD uses the concept discriminator with the projection
+    # mode its reference config selects (cfg/concept_out_df_gan.yml:36-37:
+    # SENT_MATCH, not IMG_MATCH).
+    disc_cfg = (
+        {"ENCODER_NAME": disc, "SPEC_NORM": True, "SENT_MATCH": True,
+         "IMG_MATCH": False}
+        if disc == "CONCEPT_NETD"
+        else {"ENCODER_NAME": disc, "SPEC_NORM": True, "IMG_MATCH": True}
+    )
     return cfg_from_dict({
         "CONFIG_NAME": "TOY_LEARN",
         "TRAIN": {
@@ -71,7 +81,7 @@ def build_cfg(nch: int, bs: int, word: bool = False, gen: str = "DF_GEN"):
         "IMG": {"SIZE": 64},
         "TEXT": {"EMBEDDING_DIM": EMB_DIM, "MAX_LENGTH": 8},
         "GEN": {"ENCODER_NAME": gen},
-        "DISC": {"SPEC_NORM": True, "IMG_MATCH": True},
+        "DISC": disc_cfg,
     })
 
 
@@ -95,12 +105,17 @@ def main() -> None:
         gi = args.index("--gen")
         gen = args[gi + 1]
         del args[gi:gi + 2]
+    disc = "DF_DISC"
+    if "--disc" in args:
+        di = args.index("--disc")
+        disc = args[di + 1]
+        del args[di:di + 2]
     steps = int(args[0]) if len(args) > 0 else 2000
     bs = int(args[1]) if len(args) > 1 else 64
     nch = int(args[2]) if len(args) > 2 else 32
     eval_every = max(steps // 10, 1)
 
-    cfg = build_cfg(nch, bs, use_word, gen)
+    cfg = build_cfg(nch, bs, use_word, gen, disc)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     g_model, d_model = make_models(cfg, dtype)
     state = create_train_state(cfg, jax.random.PRNGKey(100))
@@ -214,7 +229,7 @@ def main() -> None:
               f"{grid_path}", flush=True)
 
     verdict = {
-        "steps": steps, "bs": bs, "nch": nch, "gen": gen,
+        "steps": steps, "bs": bs, "nch": nch, "gen": gen, "disc": disc,
         "train_seconds": round(dt, 1),
         "img_per_sec": round(steps * bs / dt, 1),
         "color_acc_init": round(init["color_acc"], 3),

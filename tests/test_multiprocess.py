@@ -152,6 +152,130 @@ print(f"proc {jax.process_index()} Loss_D {metrics['Loss_D']:.6f} ok", flush=Tru
 """
 
 
+PREEMPT_WORKER = r"""
+import os, signal, sys, tempfile
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.environ["CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORD"],
+    num_processes=2,
+    process_id=int(sys.argv[1]),
+)
+import numpy as np
+from jax.experimental import multihost_utils
+
+from xmc_gan_tpu.config import cfg_from_dict
+from xmc_gan_tpu.parallel import make_mesh
+from xmc_gan_tpu.trainer import Trainer
+
+multihost_utils.sync_global_devices("pre_trainer_init")
+
+# Same minimal geometry as MP_K: 4 steps/epoch, K=2 windows at steps 2 and 4.
+cfg = cfg_from_dict({
+    "CONFIG_NAME": "MP_PRE",
+    "TRAIN": {
+        "NCH": 4, "NEF": 16, "NOISE_DIM": 8, "HE_INIT": True,
+        "RMIS_LOSS": True, "MAGP": False, "N_CRITIC": 1, "BATCH_SIZE": 8,
+        "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
+        "SMOOTH": {"GLOBAL": 0.0},
+    },
+    "IMG": {"SIZE": 64},
+    "TEXT": {"EMBEDDING_DIM": 16, "MAX_LENGTH": 4, "VOCA_SIZE": 50,
+             "ENCODER_NAME": "RNN", "TYPE": "WORD"},
+    "DISC": {"SPEC_NORM": False, "IMG_MATCH": True},
+})
+mesh = make_mesh(dp=4, tp=1)
+out_root = os.environ["OUT_ROOT"]  # shared: both processes' managers see it
+tr = Trainer(
+    cfg, seed=23, output_root=out_root, log_type="none",
+    synthetic=True, synthetic_len=32, save_after=50, num_threads=1,
+    mesh=mesh, eval_fid=False, steps_per_dispatch=2, save_every_steps=1000,
+)
+assert tr.ckpt_on_preempt, "multi-host preemption must be enabled"
+
+# SIGTERM lands on process 1 ONLY, between window boundaries: delivered while
+# prepping global step 3 (the flag is host-local until the step-4 boundary's
+# collective poll propagates it to process 0).
+orig_prep = tr._prep_batch
+def prep(batch):
+    if jax.process_index() == 1 and tr.global_step == 2:
+        os.kill(os.getpid(), signal.SIGTERM)
+    return orig_prep(batch)
+tr._prep_batch = prep
+
+tr.fit(max_epochs=2)  # 8 steps uninterrupted; preemption must stop at 4
+assert tr._preempted == (jax.process_index() == 1), tr._preempted
+assert tr.global_step == 4, tr.global_step
+assert tr.auto_ckpt.latest_epoch() == 4, tr.auto_ckpt.latest_epoch()
+
+# both hosts resume the collective save losslessly
+tr2 = Trainer(
+    cfg, seed=23, output_root=out_root, log_type="none",
+    synthetic=True, synthetic_len=32, save_after=50, num_threads=1,
+    mesh=mesh, eval_fid=False, steps_per_dispatch=2, save_every_steps=1000,
+)
+step = tr2.resume_latest_auto()
+assert step == 4, step
+print(f"proc {jax.process_index()} preempt ok step {step}", flush=True)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("XMC_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+@pytest.mark.slow
+def test_two_process_preemption(tmp_path):
+    """SIGTERM on ONE host of a two-process run: the host-local flag is
+    all-reduced at the next dispatch-window boundary, BOTH hosts save the
+    same step-4 auto checkpoint collectively and exit cleanly (the
+    single-host-only caveat this replaces would deadlock or lose the run)."""
+    script = tmp_path / "preempt_worker.py"
+    script.write_text(PREEMPT_WORKER)
+
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ)
+        env["COORD"] = f"localhost:{port}"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["OUT_ROOT"] = str(tmp_path / f"out{attempt}")
+        env["CACHE_DIR"] = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+        )
+        env.pop("JAX_COMPILATION_CACHE_DIR", None)
+        env["PYTHONPATH"] = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), os.pardir)
+        )
+
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(i)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            break
+        gloo_flake = any(
+            "Gloo context initialization failed" in out
+            and "DEADLINE_EXCEEDED" in out
+            for out in outs
+        )
+        if not (gloo_flake and attempt < 2):
+            for i, (p, out) in enumerate(zip(procs, outs)):
+                assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+    for out in outs:
+        assert "preempt ok step 4" in out
+
+
 @pytest.mark.skipif(os.environ.get("XMC_SKIP_MULTIPROC") == "1",
                     reason="multi-process test disabled")
 @pytest.mark.slow

@@ -355,14 +355,12 @@ class Trainer:
         # Preemption handling: a SIGTERM during fit() saves an exact
         # step-indexed auto-checkpoint at the next dispatch-window boundary
         # and exits cleanly — paired with the exact mid-epoch resume, a
-        # preempted run loses nothing.  Single-process only (signals arrive
-        # per-host; a collective save from one host would deadlock the mesh —
-        # multi-host preemption needs an externally coordinated stop).
-        self.ckpt_on_preempt = (
-            ckpt_on_preempt
-            and self.auto_ckpt is not None
-            and jax.process_count() == 1
-        )
+        # preempted run loses nothing.  Multi-host: signals arrive per-host,
+        # so the host-local flag is all-reduced (OR) across processes at each
+        # window boundary — a step-index-pure point every process reaches in
+        # lockstep — and all hosts then save collectively and exit together
+        # (a save from one host alone would deadlock the mesh).
+        self.ckpt_on_preempt = ckpt_on_preempt and self.auto_ckpt is not None
         self._preempted = False
         self._fixed = None
 
@@ -610,12 +608,28 @@ class Trainer:
 
         preempt_handled = False
 
+        def poll_preempt() -> bool:
+            # COLLECTIVE under multihost: every process calls this at the
+            # same window boundary (boundaries are a pure function of the
+            # step index), all-reducing the host-local SIGTERM flag so all
+            # hosts agree to save-and-exit together.
+            if jax.process_count() == 1:
+                return self._preempted
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray(self._preempted)
+            )
+            return bool(np.asarray(flags).any())
+
         def preempt_save() -> bool:
             nonlocal preempt_handled
-            if not (self.ckpt_on_preempt and self._preempted):
+            if not self.ckpt_on_preempt:
                 return False
             if preempt_handled:  # epoch-tail call after the in-loop one: done
                 return True
+            if not poll_preempt():
+                return False
             flush_pending()
             step_now = int(self.state.step)
             if self.auto_ckpt.latest_epoch() != step_now:  # not already saved
@@ -727,8 +741,9 @@ class Trainer:
                 # include their completion)
                 run_window()
                 flush_pending()
-                if self.ckpt_on_preempt and self._preempted:
-                    preempt_save()  # no-op if the boundary check already saved
+                # epoch-tail boundary: catches a SIGTERM that landed after the
+                # last in-loop window check (collective; no-op if already saved)
+                if preempt_save():
                     break
                 # per-epoch scalars: last step's values (reference quirk,
                 # train_gan.py:300-321) + throughput
