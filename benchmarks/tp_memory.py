@@ -14,18 +14,36 @@ Numbers are XLA buffer-assignment sizes, not measured device HBM — the
 layout *difference* between the two meshes is the evidence (same compiler,
 same graph, same batch).
 
-Usage: python benchmarks/tp_memory.py [BS ...]   (default: 64 128)
+Usage: python benchmarks/tp_memory.py [BS ...] [--devices N]
+           [--mesh dpAxtpB ...] [--remat both|on|off]
+       (default: BS 64 128, 8 devices, meshes dp8x tp1 + dp4xtp2, no remat)
+
+The v4-32 north-star row (BASELINE.json config #3: effective batch 256,
+NCH=96, 256px on 32 chips):
+    python benchmarks/tp_memory.py 256 --devices 32 \
+        --mesh dp32xtp1 dp16xtp2 --remat both
 """
 
+import argparse
 import os
 import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmc_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+parser = argparse.ArgumentParser()
+parser.add_argument("sizes", nargs="*", type=int, default=None)
+parser.add_argument("--devices", type=int, default=8)
+parser.add_argument("--mesh", nargs="*", default=None,
+                    help="mesh specs like dp16xtp2 (default: dp{N}xtp1 and "
+                         "dp{N//2}xtp2)")
+parser.add_argument("--remat", choices=["both", "on", "off"], default="off")
+ARGS = parser.parse_args()
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + f" --xla_force_host_platform_device_count={ARGS.devices}"
     ).strip()
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
@@ -56,7 +74,7 @@ def build(bs: int):
     })
 
 
-def analyze(bs: int, dp: int, tp: int) -> dict:
+def analyze(bs: int, dp: int, tp: int, remat: bool = False) -> dict:
     cfg = build(bs)
     mesh = make_mesh(dp=dp, tp=tp)
     state_shapes = jax.eval_shape(
@@ -78,7 +96,7 @@ def analyze(bs: int, dp: int, tp: int) -> dict:
         lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
         batch_shapes, b_shard,
     )
-    step = make_train_step(cfg, dtype=jnp.bfloat16, mesh=mesh)
+    step = make_train_step(cfg, dtype=jnp.bfloat16, mesh=mesh, remat=remat)
     compiled = (
         jax.jit(step, in_shardings=(st_shard, b_shard, None))
         .lower(st_shapes_sh, b_shapes_sh, jax.ShapeDtypeStruct((2,), jnp.uint32))
@@ -88,7 +106,7 @@ def analyze(bs: int, dp: int, tp: int) -> dict:
     if ma is None:
         return {"error": "memory_analysis unsupported on this backend"}
     return {
-        "bs": bs, "mesh": f"dp{dp}xtp{tp}",
+        "bs": bs, "mesh": f"dp{dp}xtp{tp}", "remat": remat,
         "args_gb": round(ma.argument_size_in_bytes / GB, 3),
         "temps_gb": round(ma.temp_size_in_bytes / GB, 3),
         "out_gb": round(ma.output_size_in_bytes / GB, 3),
@@ -100,15 +118,29 @@ def analyze(bs: int, dp: int, tp: int) -> dict:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [64, 128]
+    import time
+
+    sizes = ARGS.sizes or [64, 128]
+    n = ARGS.devices
+    if ARGS.mesh:
+        meshes = []
+        for spec in ARGS.mesh:
+            dp_s, tp_s = spec.replace("dp", "").split("xtp")
+            meshes.append((int(dp_s), int(tp_s)))
+    else:
+        meshes = [(n, 1), (n // 2, 2)]
+    remats = {"both": (False, True), "on": (True,), "off": (False,)}[ARGS.remat]
     for bs in sizes:
-        for dp, tp in ((8, 1), (4, 2)):
-            try:
-                info = analyze(bs, dp, tp)
-            except Exception as e:  # OOM-at-compile etc. is itself a result
-                info = {"bs": bs, "mesh": f"dp{dp}xtp{tp}",
-                        "error": f"{type(e).__name__}: {e}"}
-            print(info, flush=True)
+        for dp, tp in meshes:
+            for remat in remats:
+                t0 = time.time()
+                try:
+                    info = analyze(bs, dp, tp, remat)
+                except Exception as e:  # OOM-at-compile etc. is a result too
+                    info = {"bs": bs, "mesh": f"dp{dp}xtp{tp}", "remat": remat,
+                            "error": f"{type(e).__name__}: {e}"}
+                info["compile_s"] = round(time.time() - t0, 1)
+                print(info, flush=True)
 
 
 if __name__ == "__main__":

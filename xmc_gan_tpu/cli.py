@@ -51,6 +51,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="write a jax.profiler trace of steps 10-20 here")
     t.add_argument("--save_every_steps", type=int, default=None,
                    help="step-indexed auto-checkpoints for crash recovery")
+    t.add_argument("--watch", action="store_true",
+                   help="per-layer parameter/update histograms each epoch "
+                        "(wandb.watch parity, reference train_gan.py:163-164)")
     t.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="fuse K optimization steps into one device dispatch "
                         "(lax.scan) to amortize host round-trips")
@@ -219,6 +222,7 @@ def run_train(args: argparse.Namespace) -> dict:
         profile_dir=args.profile_dir,
         save_every_steps=args.save_every_steps,
         steps_per_dispatch=args.steps_per_dispatch,
+        watch=args.watch,
     )
     trainer.logger.info("Using config:")
     trainer.logger.info(str(cfg.to_dict()))

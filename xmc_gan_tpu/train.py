@@ -147,6 +147,7 @@ def make_train_step(
     dtype=jnp.float32,
     mesh=None,
     word_block_elems: int | None = None,
+    remat: bool = False,
 ) -> Callable[[TrainState, dict, Array], tuple[TrainState, dict]]:
     """Build the jitted-able train step for a given (static) config.
 
@@ -161,6 +162,13 @@ def make_train_step(
     ``word_block_elems``: override for the word-loss streaming threshold
     (``losses.WORD_LOSS_BLOCK_ELEMS``); used by tests/dry runs to force the
     blocking/kernel path at reduced shapes.
+
+    ``remat``: rematerialize the G and D forwards under ``jax.checkpoint`` —
+    the backward passes recompute activations instead of keeping them live,
+    trading ~1 extra forward's FLOPs for the activation footprint.  Off by
+    default (the conv trunk is HBM-bandwidth-bound; remat is for fitting
+    large-batch configs, e.g. the 256px NCH=96 paper config at 8 img/device —
+    see benchmarks/tp_memory.py).
     """
     if g_model is None or d_model is None:
         g_model, d_model = make_models(cfg, dtype)
@@ -236,6 +244,14 @@ def make_train_step(
         if d_spectral:
             variables["spectral"] = d_spectral
         return d_model.apply(variables, feats, sent, method="logits")
+
+    if remat:
+        # Whole-trunk rematerialization: only each apply's inputs/outputs stay
+        # live across the backward (the dominant activation cost is the conv
+        # trunks; the tiny logits head is not worth recomputing).
+        g_apply = jax.checkpoint(g_apply)
+        d_apply = jax.checkpoint(d_apply)
+        d_apply_regions = jax.checkpoint(d_apply_regions)
 
     def train_step(state: TrainState, batch: dict, rng: Array,
                    vgg_variables=None):
@@ -444,9 +460,10 @@ def make_train_step(
     return train_step
 
 
-def jit_train_step(cfg: Config, dtype=jnp.float32, mesh=None, **jit_kwargs):
+def jit_train_step(cfg: Config, dtype=jnp.float32, mesh=None, remat=False,
+                   **jit_kwargs):
     """Jitted train step with donated state (double-buffer-free updates)."""
-    step = make_train_step(cfg, dtype=dtype, mesh=mesh)
+    step = make_train_step(cfg, dtype=dtype, mesh=mesh, remat=remat)
     return jax.jit(step, donate_argnums=(0,), **jit_kwargs)
 
 

@@ -134,6 +134,7 @@ class Trainer:
         save_every_steps: int | None = None,
         steps_per_dispatch: int = 1,
         ckpt_on_preempt: bool = True,
+        watch: bool = False,
     ):
         self.cfg = cfg
         self.seed = seed
@@ -157,6 +158,14 @@ class Trainer:
             cfg.CONFIG_NAME or "xmc_gan_tpu", self.log_dir, self.rank
         )
         self.writer = MetricWriter(self.log_dir, log_type, self.rank)
+        # wandb.watch(netG/netD) parity (reference train_gan.py:163-164):
+        # per-layer parameter histograms + per-layer update histograms each
+        # epoch.  The reference hooks gradients; here gradients never leave
+        # the jitted step, so the logged "updates" are the applied Adam deltas
+        # since the previous watch point — the same telemetry (dead layers,
+        # exploding layers) with zero hot-path cost.  Opt-in (--watch).
+        self.watch = watch and self.writer.active
+        self._watch_prev = None
 
         # ---------------------------------------------------------- data
         shard = (jax.process_index(), jax.process_count())
@@ -534,6 +543,39 @@ class Trainer:
             return "FID_randinit_proxy"
         return "FID"
 
+    def _log_watch(self, epoch: int) -> None:
+        """``wandb.watch`` telemetry (reference ``train_gan.py:163-164``):
+        per-layer ``parameters/net{G,D}/...`` histograms plus
+        ``updates/net{G,D}/...`` — the applied optimizer deltas since the
+        previous watch point (the JAX-visible stand-in for the reference's
+        gradient hooks).  Host-0 only; one device→host fetch per epoch."""
+        if self.rank != 0:
+            return
+        import numpy as np
+
+        def flat(tree, prefix):
+            out = {}
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                name = (
+                    jax.tree_util.keystr(path)
+                    .replace("']['", "/").strip("[']")
+                )
+                out[f"{prefix}/{name}"] = np.asarray(leaf)
+            return out
+
+        params = {
+            **flat(self.state.g_params, "netG"),
+            **flat(self.state.d_params, "netD"),
+        }
+        hists = {f"parameters/{k}": v for k, v in params.items()}
+        if self._watch_prev is not None:
+            hists.update({
+                f"updates/{k}": v - self._watch_prev[k]
+                for k, v in params.items()
+            })
+        self._watch_prev = params
+        self.writer.histograms(epoch, hists)
+
     # ------------------------------------------------------------------ #
 
     def fit(
@@ -749,6 +791,8 @@ class Trainer:
                 # train_gan.py:300-321) + throughput
                 scalars = {"epoch": epoch, **last_metrics, **meter.rates()}
                 self.writer.scalars(epoch, scalars)
+                if self.watch:
+                    self._log_watch(epoch)
                 meter.reset()
 
                 self.sample_fixed_grid(epoch)

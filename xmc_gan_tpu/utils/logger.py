@@ -82,6 +82,26 @@ class MetricWriter:
         if self._wandb is not None:
             self._wandb.log(dict(values), step=step)
 
+    @property
+    def active(self) -> bool:
+        return self._tb is not None or self._wandb is not None
+
+    def histograms(self, step: int, values: Mapping[str, "object"]) -> None:
+        """Per-tensor histograms (``wandb.watch`` telemetry,
+        reference ``train_gan.py:163-164``): wandb ``Histogram`` objects or
+        TB ``add_histogram`` events, host-0 only like scalars."""
+        import numpy as np
+
+        if self._tb is not None:
+            for k, v in values.items():
+                self._tb.add_histogram(k, np.asarray(v).ravel(), step)
+        if self._wandb is not None:
+            self._wandb.log(
+                {k: self._wandb.Histogram(np.asarray(v).ravel())
+                 for k, v in values.items()},
+                step=step,
+            )
+
     def close(self) -> None:
         if self._tb is not None:
             self._tb.close()
