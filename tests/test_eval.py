@@ -195,6 +195,7 @@ def test_evaluate_fid_end_to_end_synthetic():
     assert np.isfinite(fid_value) and fid_value > 0
 
 
+@pytest.mark.slow  # torch import + oracle build; parity tier
 @pytest.mark.parametrize("fid_variant", [True, False])
 def test_inception_matches_torch_oracle(fid_variant):
     """Topology/conversion parity against the independent PyTorch oracle
@@ -221,6 +222,7 @@ def test_inception_matches_torch_oracle(fid_variant):
     np.testing.assert_allclose(np.asarray(feats), want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow  # torch import + full Inception conversion; parity tier
 def test_convert_fid_weights_cli_roundtrip(tmp_path):
     """torch .pth -> cli convert-fid-weights -> .npz -> FidComputer loads it
     torch-free and produces the oracle's features (the one-command weights
@@ -267,6 +269,9 @@ def test_evaluate_fid_30k_protocol_cycles_loader():
     encode = make_encode_fn(cfg, synthetic=True)
     loader = DataLoader(SyntheticDataset(cfg, 16, "test"), 8, drop_last=True)
     fid = FidComputer()
+    # no weights in this env -> the random-init fallback must self-identify
+    # (trainer archives it as FID_randinit_proxy, never as real FID)
+    assert not fid.pretrained
     value = evaluate_fid_30k(
         cfg, state.g_params, encode, loader, num_samples=48, seed=0, fid=fid
     )

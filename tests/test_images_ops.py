@@ -50,7 +50,9 @@ def test_train_step_uint8_equals_prenormalized_float():
 
     cfg = tiny_cfg()
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step_fn = make_train_step(cfg)
+    # jit: eager CPU dispatch of the full step is ~4 min; the two compiled
+    # programs (uint8 vs f32 batch) land in the persistent cache instead
+    step_fn = jax.jit(make_train_step(cfg))
 
     batch = synthetic_batch(cfg, bs=4)
     u8 = np.random.RandomState(3).randint(
@@ -63,9 +65,13 @@ def test_train_step_uint8_equals_prenormalized_float():
 
     s_u8, m_u8 = step_fn(state, batch_u8, jax.random.PRNGKey(1))
     s_f32, m_f32 = step_fn(state, batch_f32, jax.random.PRNGKey(1))
+    # the two compiled programs fuse the input normalization differently, so
+    # equality is f32-ulp-scale, not bitwise (measured: metrics 2e-7 rel,
+    # params 3e-11 abs)
     for k in m_f32:
         np.testing.assert_allclose(
-            float(m_u8[k]), float(m_f32[k]), rtol=0, atol=0, err_msg=k
+            float(m_u8[k]), float(m_f32[k]), rtol=1e-5, atol=1e-7, err_msg=k
         )
     for a, b in zip(jax.tree.leaves(s_u8.g_params), jax.tree.leaves(s_f32.g_params)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)

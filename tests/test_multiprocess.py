@@ -342,6 +342,7 @@ def test_two_process_trainer_with_dispatch_window(tmp_path):
 
 @pytest.mark.skipif(os.environ.get("XMC_SKIP_MULTIPROC") == "1",
                     reason="multi-process test disabled")
+@pytest.mark.slow  # spawns 2 fresh JAX processes (cold imports + compiles)
 def test_two_process_global_contrastive_loss(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))

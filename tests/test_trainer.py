@@ -313,20 +313,19 @@ def test_steps_per_dispatch_matches_single_step(run_dir):
         )
 
 
-def test_fid_scalar_name_distinguishes_randinit_proxy(run_dir, monkeypatch):
+def test_fid_scalar_name_distinguishes_randinit_proxy(run_dir):
     """A random-init Inception extractor's value must never archive under the
-    real ``FID`` scalar name (VERDICT r2 weak #5)."""
-    from xmc_gan_tpu.eval import FidComputer
+    real ``FID`` scalar name (VERDICT r2 weak #5).  Uses a pretrained-flag
+    stub: that ``FidComputer()`` without weights really sets
+    ``pretrained=False`` is covered by test_eval.py's random-init FID test."""
+    from types import SimpleNamespace
 
-    # force the random-init fallback even on hosts with real weights set up
-    monkeypatch.delenv("FID_WEIGHTS_PATH", raising=False)
     tr = Trainer(
-        cfg := tiny_cfg(), seed=11, output_root=run_dir, log_type="none",
+        tiny_cfg(), seed=11, output_root=run_dir, log_type="none",
         synthetic=True, synthetic_len=8, num_threads=1,
     )
     assert tr.fid_scalar_name == "FID"  # no extractor yet -> optimistic default
-    tr._fid = FidComputer()  # no weights in this env -> random-init fallback
-    assert not tr._fid.pretrained
+    tr._fid = SimpleNamespace(pretrained=False)
     assert tr.fid_scalar_name == "FID_randinit_proxy"
     tr._fid.pretrained = True
     assert tr.fid_scalar_name == "FID"
@@ -360,6 +359,7 @@ def test_mid_epoch_crash_resume_is_exact(run_dir):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # K>1 variant; the K=1 exactness test above stays fast
 def test_mid_epoch_crash_resume_exact_with_dispatch_window(run_dir):
     """Same exactness under K>1 step windows.  A real crash can only leave
     auto-checkpoints at the crashed run's window boundaries (windows chop at
