@@ -27,6 +27,13 @@ in XLA (cheap, elementwise).  Numerics: f32 throughout VMEM; the MXU dots
 optionally take bf16 operands with f32 accumulation (``compute_dtype``),
 matching the XLA path's option.
 
+Each kernel processes its whole caption block as ONE [cb*T, ...] operand —
+one MXU dot per chain stage instead of a per-caption loop (fills the 128-row
+MXU tiles: T=200 alone wastes 22% of the last tile, cb*T amortizes it) — and
+each backward kernel computes only its own output's dots: d_regions skips the
+d_w dot, d_words skips the two d_r dots, cutting the backward recompute from
+2x6 to 5+4 MXU dots per pair (VERDICT r3 weak #6).
+
 Padded words use the same -1e30 masking constant as the XLA path, so values
 (and the all-padded-caption edge case) agree exactly.
 """
@@ -47,36 +54,57 @@ __all__ = ["damsm_scores"]
 NEG = -1e30
 CAPTION_BLOCK = 8  # padding granularity for the caption axis (max block)
 
-# VMEM byte budget per kernel: the hardware limit is 16 MB; leave headroom
-# for Mosaic temporaries beyond the modeled stack values.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# Split VMEM budgets (the hardware limit is 16 MB): pipeline IO buffers vs
+# the kernel's stack-resident chain temporaries.  Calibrated against the
+# on-chip (cb, vb) compile/perf matrix at the LN shapes (2026-08-19, see
+# BASELINE.md): cb=8 fails to compile (the [*, 1] g/mask operands lane-pad
+# 128x in VMEM), cb=4/vb=4 is the measured optimum for bf16.
+_IO_BUDGET = 8 * 1024 * 1024
+_STACK_BUDGET = 8 * 1024 * 1024
 
 
 def _caption_blocks(rp, tp, dp, cd):
-    # (cb_fwd_dr, cb_dw): captions per grid step, fitted to the shapes.
-    # Inputs are double-buffered by the pipeline; the d_regions kernel holds
-    # an f32 [rp, dp] output block + accumulator, the d_words kernel an f32
-    # [cb, tp, dp] output block.  Per-caption temporaries ([tp, rp]
-    # sim/exp/attn and [tp, dp] context chains, f32) live on the Mosaic stack.
+    # ((cb, vb) fwd/d_regions, (cb, vb) d_words): cb = captions DMA'd per
+    # grid step (large cb amortizes grid-step and pipeline overheads — the
+    # dominant efficiency factor, measured on-chip), vb = captions the
+    # in-kernel chain vectorizes per sub-block iteration (the [vb*tp, ...]
+    # temporaries live on the Mosaic stack, so vb is what the stack budget
+    # actually constrains).  Inputs are double-buffered by the pipeline; the
+    # d_regions kernel holds an f32 [rp, dp] output block + accumulator, the
+    # d_words kernel an f32 [cb, tp, dp] output block.
     s = 2 if cd == jnp.bfloat16 else 4
-    fixed_tmp = 4 * (tp * rp * 3 + tp * dp * 4)
     regions_io = 2 * rp * dp * s
 
-    def fits_fwd_dr(cb):
+    def io_misc(cb):
+        # g_rows + mask, [cb*tp, 1]-shaped: every sublane tile carries 128
+        # lanes for one useful value, so VMEM occupancy is 128x logical
+        return 2 * 2 * (-(-cb * tp // 8)) * 8 * 128 * 4
+
+    def tmp(vb):
+        # chain temporaries: [vb*tp, rp] f32 (sim/attn/exp class) and
+        # [vb*tp, dp] at the storage dtype (context/d_c class, bf16 on the
+        # bf16 path)
+        return vb * tp * (4 * rp * 3 + s * dp * 4)
+
+    def fits_fwd_dr(cb, vb):
         words_io = 2 * cb * tp * dp * s
         out_dr = 2 * 4 * rp * dp  # out block + acc
-        return regions_io + words_io + out_dr + fixed_tmp <= _VMEM_BUDGET
+        io = regions_io + words_io + out_dr + io_misc(cb)
+        return io <= _IO_BUDGET and tmp(vb) <= _STACK_BUDGET
 
-    def fits_dw(cb):
+    def fits_dw(cb, vb):
         words_io = 2 * cb * tp * dp * s
         out_dw = 4 * cb * tp * dp
-        return regions_io + words_io + out_dw + fixed_tmp <= _VMEM_BUDGET
+        io = regions_io + words_io + out_dw + io_misc(cb)
+        return io <= _IO_BUDGET and tmp(vb) <= _STACK_BUDGET
 
     def pick(fits):
+        # maximize the DMA block first, then the vector width within it
         for cb in (8, 4, 2, 1):
-            if fits(cb):
-                return cb
-        return 1
+            for vb in (cb, cb // 2, cb // 4, cb // 8):
+                if vb and fits(cb, vb):
+                    return cb, vb
+        return 1, 1
 
     return pick(fits_fwd_dr), pick(fits_dw)
 
@@ -122,21 +150,24 @@ def _pair_core(w, r, gamma1, cd, real_r):
 
 
 def _fwd_kernel(r_ref, w_ref, mpad_ref, out_ref, *, gamma1, gamma2,
-                real_r, real_t, cj, cd):
+                real_r, cj, vj, tp, cd):
     j = pl.program_id(1)
     r = r_ref[0]  # [Rp, D]
+    # per-caption logsumexp over static sublane slices; scalar stores to
+    # VMEM are unsupported, so each score lands via a masked row add
     cjp = out_ref.shape[-1]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, cjp), 1)
     row = jnp.zeros((1, cjp), jnp.float32)
-    for c in range(cj):
-        w = w_ref[c]  # [T, D]
+    for sb in range(cj // vj):
+        w = w_ref[sb * vj:(sb + 1) * vj].reshape(vj * tp, r.shape[1])
         _, _, _, _, rel = _pair_core(w, r, gamma1, cd, real_r)
-        pad = mpad_ref[c, 0, :].reshape(-1, 1) > 0.5  # [T, 1] True = padding
+        pad = mpad_ref[sb * vj * tp:(sb + 1) * vj * tp] > 0.5
         relv = jnp.where(pad, NEG, gamma2 * rel)
-        m = jnp.max(relv)
-        s = m + jnp.log(jnp.sum(jnp.exp(relv - m)))
-        # scalar stores to VMEM are unsupported: place s via a masked row add
-        row = row + jnp.where(col == j * cj + c, s / gamma2, 0.0)
+        for c in range(vj):
+            rc = relv[c * tp:(c + 1) * tp]
+            m = jnp.max(rc)
+            s = m + jnp.log(jnp.sum(jnp.exp(rc - m)))
+            row = row + jnp.where(col == j * cj + sb * vj + c, s / gamma2, 0.0)
 
     @pl.when(j == 0)
     def _():
@@ -145,49 +176,48 @@ def _fwd_kernel(r_ref, w_ref, mpad_ref, out_ref, *, gamma1, gamma2,
     out_ref[0] = out_ref[0] + row
 
 
-def _softmax_t(relv):
-    """softmax over the (masked) word axis of gamma2*rel values [T, 1]."""
-    m = jnp.max(relv)
-    e = jnp.exp(relv - m)
-    return e / jnp.sum(e)
+def _block_backward(w, r, pad, g_rows, gamma1, gamma2, cd, real_r, vj, tp):
+    """Shared backward chain for one caption sub-block against one image.
 
-
-def _pair_backward(w, r, pad, g_ij, gamma1, gamma2, cd, real_r):
-    """d(score_ij)/d(w), d(score_ij)/d(r) given upstream scalar g_ij.
-
-    Recomputes the forward in VMEM; returns (d_w [T, D], d_r [Rp, D])."""
+    w: [vj*tp, D] normalized words, r: [Rp, D] normalized regions,
+    pad: [vj*tp, 1], g_rows: [vj*tp, 1] upstream d(score_ij) broadcast over
+    each caption's rows.  Recomputes the forward, returns the pieces each
+    output kernel finishes with its own dots: (a, d_c, d_sim, d_rel, c_hat).
+    """
     sim, a, c_hat, inv_norm, rel = _pair_core(w, r, gamma1, cd, real_r)
     relv = jnp.where(pad, NEG, gamma2 * rel)
-    p = _softmax_t(relv)  # [T, 1] d(out)/d(rel)
-    d_rel = g_ij * p  # [T, 1]
-    d_chat = d_rel * w.astype(jnp.float32)  # [T, D]
-    d_w = d_rel * c_hat
+    # per-caption word softmax on static sublane slices (cheap VPU work;
+    # the MXU dots below stay vectorized over the whole sub-block)
+    parts = []
+    for c in range(vj):
+        rc = relv[c * tp:(c + 1) * tp]
+        m = jnp.max(rc)
+        e = jnp.exp(rc - m)
+        parts.append(e / jnp.sum(e))
+    p = parts[0] if vj == 1 else jnp.concatenate(parts, axis=0)
+    d_rel = g_rows * p  # [vj*tp, 1]
+    # the [vj*tp, D] chain dominates VPU/VMEM traffic; on the bf16 path store
+    # it at the operand precision the dots consume anyway (reductions and the
+    # [*, 1] scale factors stay f32)
+    st = cd if cd == jnp.bfloat16 else jnp.float32
+    c_hat = c_hat.astype(st)
+    d_chat = (d_rel * w.astype(jnp.float32)).astype(st)  # [vj*tp, D]
     # normalize backward: d_c = (d_chat - c_hat * <c_hat, d_chat>) * inv_norm
-    inner = jnp.sum(c_hat * d_chat, axis=1, keepdims=True)
-    d_c = (d_chat - c_hat * inner) * inv_norm  # [T, D]
+    inner = jnp.sum((c_hat * d_chat).astype(jnp.float32), axis=1,
+                    keepdims=True)
+    d_c = ((d_chat - c_hat * inner.astype(st)) * inv_norm).astype(st)
     d_a = jax.lax.dot_general(
         d_c.astype(cd), r.astype(cd), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [T, Rp]
+    )  # [vj*tp, Rp]
     # softmax backward (temperature gamma1)
     ad = a * d_a
-    d_sim = gamma1 * (ad - a * jnp.sum(ad, axis=1, keepdims=True))  # [T, Rp]
-    d_w = d_w + jax.lax.dot_general(
-        d_sim.astype(cd), r.astype(cd), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    d_r = jax.lax.dot_general(
-        a.astype(cd), d_c.astype(cd), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        d_sim.astype(cd), w.astype(cd), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Rp, D]
-    return d_w, d_r
+    d_sim = gamma1 * (ad - a * jnp.sum(ad, axis=1, keepdims=True))
+    return a, d_c, d_sim, d_rel, c_hat
 
 
 def _bwd_dr_kernel(r_ref, w_ref, mpad_ref, g_ref, dr_ref, *, gamma1, gamma2,
-                   real_r, real_t, cj, cd):
+                   real_r, cj, vj, tp, cd):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -196,30 +226,50 @@ def _bwd_dr_kernel(r_ref, w_ref, mpad_ref, g_ref, dr_ref, *, gamma1, gamma2,
 
     r = r_ref[0]
     acc = jnp.zeros_like(dr_ref[0])
-    for c in range(cj):
-        w = w_ref[c]
-        pad = mpad_ref[c, 0, :].reshape(-1, 1) > 0.5
-        g_ij = g_ref[0, 0, j * cj + c]
-        _, d_r = _pair_backward(w, r, pad, g_ij, gamma1, gamma2, cd, real_r)
-        acc = acc + d_r
+    for sb in range(cj // vj):
+        w = w_ref[sb * vj:(sb + 1) * vj].reshape(vj * tp, r.shape[1])
+        rows = slice(sb * vj * tp, (sb + 1) * vj * tp)
+        pad = mpad_ref[rows] > 0.5
+        g_rows = g_ref[0, rows]  # [vj*tp, 1]
+        a, d_c, d_sim, _, _ = _block_backward(
+            w, r, pad, g_rows, gamma1, gamma2, cd, real_r, vj, tp
+        )
+        # contraction over the sub-block's vj*tp word rows accumulates all vj
+        # captions' d_r in the two dots; d_w's dot is skipped entirely
+        acc = acc + jax.lax.dot_general(
+            a.astype(cd), d_c.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            d_sim.astype(cd), w.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Rp, D]
     dr_ref[0] = dr_ref[0] + acc
 
 
 def _bwd_dw_kernel(w_ref, mpad_ref, r_ref, g_ref, dw_ref, *, gamma1, gamma2,
-                   real_r, real_t, cj, cd):
-    j, i = pl.program_id(0), pl.program_id(1)
+                   real_r, cj, vj, tp, cd):
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref[:])
 
     r = r_ref[0]
-    for c in range(cj):
-        w = w_ref[c]
-        pad = mpad_ref[c, 0, :].reshape(-1, 1) > 0.5
-        g_ij = g_ref[c, 0, i]
-        d_w, _ = _pair_backward(w, r, pad, g_ij, gamma1, gamma2, cd, real_r)
-        dw_ref[c] = dw_ref[c] + d_w
+    for sb in range(cj // vj):
+        w = w_ref[sb * vj:(sb + 1) * vj].reshape(vj * tp, r.shape[1])
+        rows = slice(sb * vj * tp, (sb + 1) * vj * tp)
+        pad = mpad_ref[rows] > 0.5
+        g_rows = g_ref[0, rows]
+        _, _, d_sim, d_rel, c_hat = _block_backward(
+            w, r, pad, g_rows, gamma1, gamma2, cd, real_r, vj, tp
+        )
+        # d_r's two dots are skipped entirely
+        d_w = d_rel * c_hat + jax.lax.dot_general(
+            d_sim.astype(cd), r.astype(cd), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [vj*tp, D]
+        blk = dw_ref[sb * vj:(sb + 1) * vj]
+        dw_ref[sb * vj:(sb + 1) * vj] = blk + d_w.reshape(blk.shape)
 
 
 def _prep(regions: Array, words: Array, mask_f: Array, cd):
@@ -237,24 +287,29 @@ def _prep(regions: Array, words: Array, mask_f: Array, cd):
     b, rr, d = r.shape
     bc, t, _ = w.shape
     rp = _round_up(rr, 128)
-    tp = _round_up(t, 8)
+    # T must be a sublane-tile multiple of the words' dtype so the in-kernel
+    # [cb, tp, dp] -> [cb*tp, dp] collapse is layout-free (f32 tiles are
+    # (8, 128) sublanes x lanes; bf16 are (16, 128))
+    tp = _round_up(t, 16 if cd == jnp.bfloat16 else 8)
     dp = _round_up(d, 128)
     cjp = _round_up(bc, CAPTION_BLOCK)
     r = _pad_axis(_pad_axis(r, 1, rp), 2, dp)
     w = _pad_axis(_pad_axis(_pad_axis(w, 1, tp), 2, dp), 0, cjp)
-    # padded words / padded captions are marked padding so they never count
+    # padded words / padded captions are marked padding so they never count;
+    # laid out as one flag per word ROW ([cjp*tp, 1]) to match the kernels'
+    # block-vectorized [cb*tp, ...] operands
     mp = _pad_axis(_pad_axis(mask_f.astype(jnp.float32), 1, tp, 1.0), 0, cjp, 1.0)
-    mp = mp[:, None, :]  # [cjp, 1, tp]: block dims (1, tp) satisfy tiling rules
+    mp = mp.reshape(cjp * tp, 1)
     return r, w, mp, (b, rr, d, bc, t, rp, tp, dp, cjp)
 
 
 def _fwd_impl(regions, words, mask_f, gamma1, gamma2, cd, interpret):
     r, w, mp, (b, rr, d, bc, t, rp, tp, dp, cjp) = _prep(regions, words, mask_f, cd)
-    cb, _ = _caption_blocks(rp, tp, dp, cd)
+    (cb, vb), _ = _caption_blocks(rp, tp, dp, cd)
     jb = cjp // cb
     kern = functools.partial(
-        _fwd_kernel, gamma1=gamma1, gamma2=gamma2, real_r=rr, real_t=t,
-        cj=cb, cd=cd,
+        _fwd_kernel, gamma1=gamma1, gamma2=gamma2, real_r=rr,
+        cj=cb, vj=vb, tp=tp, cd=cd,
     )
     out = pl.pallas_call(
         kern,
@@ -263,7 +318,7 @@ def _fwd_impl(regions, words, mask_f, gamma1, gamma2, cd, interpret):
         in_specs=[
             pl.BlockSpec((1, rp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((cb, tp, dp), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cb, 1, tp), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb * tp, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, cjp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
@@ -273,14 +328,17 @@ def _fwd_impl(regions, words, mask_f, gamma1, gamma2, cd, interpret):
 
 def _bwd_impl(regions, words, mask_f, g, gamma1, gamma2, cd, interpret):
     r, w, mp, (b, rr, d, bc, t, rp, tp, dp, cjp) = _prep(regions, words, mask_f, cd)
-    cb, cb_dw = _caption_blocks(rp, tp, dp, cd)
+    (cb, vb), (cb_dw, vb_dw) = _caption_blocks(rp, tp, dp, cd)
     jb = cjp // cb
     gp = _pad_axis(g.astype(jnp.float32), 1, cjp)
-    gp3 = gp[:, None, :]  # [b, 1, cjp] for per-image blocking
+    # upstream cotangent broadcast over each caption's word rows, so the
+    # kernels consume it as one [cb*tp, 1] operand per (image, block); both
+    # backward kernels read the same array through different index maps
+    g_rows = jnp.repeat(gp, tp, axis=1)[:, :, None]  # [b, cjp*tp, 1]
 
     dr_kern = functools.partial(
-        _bwd_dr_kernel, gamma1=gamma1, gamma2=gamma2, real_r=rr, real_t=t,
-        cj=cb, cd=cd,
+        _bwd_dr_kernel, gamma1=gamma1, gamma2=gamma2, real_r=rr,
+        cj=cb, vj=vb, tp=tp, cd=cd,
     )
     d_rn = pl.pallas_call(
         dr_kern,
@@ -289,17 +347,17 @@ def _bwd_impl(regions, words, mask_f, g, gamma1, gamma2, cd, interpret):
         in_specs=[
             pl.BlockSpec((1, rp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((cb, tp, dp), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cb, 1, tp), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cjp), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((cb * tp, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb * tp, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(r, w, mp, gp3)[:, :rr, :d]
+    )(r, w, mp, g_rows)[:, :rr, :d]
 
     jb_dw = cjp // cb_dw
     dw_kern = functools.partial(
-        _bwd_dw_kernel, gamma1=gamma1, gamma2=gamma2, real_r=rr, real_t=t,
-        cj=cb_dw, cd=cd,
+        _bwd_dw_kernel, gamma1=gamma1, gamma2=gamma2, real_r=rr,
+        cj=cb_dw, vj=vb_dw, tp=tp, cd=cd,
     )
     d_wn = pl.pallas_call(
         dw_kern,
@@ -307,15 +365,13 @@ def _bwd_impl(regions, words, mask_f, g, gamma1, gamma2, cd, interpret):
         grid=(jb_dw, b),
         in_specs=[
             pl.BlockSpec((cb_dw, tp, dp), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cb_dw, 1, tp), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb_dw * tp, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rp, dp), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
-            # g transposed: this j's caption rows, all images — SMEM so the
-            # kernel can read per-pair scalars
-            pl.BlockSpec((cb_dw, 1, b), lambda j, i: (j, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cb_dw * tp, 1), lambda j, i: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((cb_dw, tp, dp), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(w, mp, r, gp.T[:, None, :])[:bc, :t, :d]
+    )(w, mp, r, g_rows)[:bc, :t, :d]
 
     # backward through the l2 normalizations (XLA, elementwise per vector)
     def norm_bwd(raw, d_n):
