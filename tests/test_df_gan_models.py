@@ -216,8 +216,8 @@ def test_fused_upsample_gradients_match_unfused():
         out = df_gan.NetG(cfg, fuse_upsample=fuse).apply({"params": params}, noise, sent)
         return jnp.sum(out * out)
 
-    g_ref = jax.grad(lambda p: loss(p, False))(variables["params"])
-    g_fused = jax.grad(lambda p: loss(p, True))(variables["params"])
+    g_ref = jax.jit(jax.grad(lambda p: loss(p, False)))(variables["params"])
+    g_fused = jax.jit(jax.grad(lambda p: loss(p, True)))(variables["params"])
     flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
     flat_fused, _ = jax.tree_util.tree_flatten(g_fused)
     for a, b in zip(flat_ref, flat_fused):

@@ -86,8 +86,10 @@ def test_magp_is_second_d_update():
     cfg_off = tiny_cfg(TRAIN={"MAGP": False})
     state = create_train_state(cfg_on, jax.random.PRNGKey(0))
     batch = synthetic_batch(cfg_on)
-    s_on, m_on = make_train_step(cfg_on)(state, batch, jax.random.PRNGKey(1))
-    s_off, m_off = make_train_step(cfg_off)(state, batch, jax.random.PRNGKey(1))
+    # jit (no donation: `state` feeds both programs) — the grad-of-grad MAGP
+    # step is minutes of eager op-by-op dispatch, seconds compiled+cached
+    s_on, m_on = jax.jit(make_train_step(cfg_on))(state, batch, jax.random.PRNGKey(1))
+    s_off, m_off = jax.jit(make_train_step(cfg_off))(state, batch, jax.random.PRNGKey(1))
     assert float(m_on["d_loss_gp"]) > 0.0
     assert float(m_off["d_loss_gp"]) == 0.0
     assert leaf_l2_delta(s_on.d_params, s_off.d_params) > 0
