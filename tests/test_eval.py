@@ -250,9 +250,11 @@ def test_convert_fid_weights_cli_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
-def test_evaluate_fid_30k_protocol_cycles_loader():
+def test_evaluate_fid_30k_protocol_cycles_loader(monkeypatch):
     """FID-30K mode: more samples than the test split -> the loader cycles
     with fresh noise; real stats cover the split exactly once."""
+    # force the random-init fallback even on hosts with real weights set up
+    monkeypatch.delenv("FID_WEIGHTS_PATH", raising=False)
     from xmc_gan_tpu.config import cfg_from_dict
     from xmc_gan_tpu.data import DataLoader, SyntheticDataset
     from xmc_gan_tpu.eval import evaluate_fid_30k

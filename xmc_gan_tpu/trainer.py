@@ -134,6 +134,7 @@ class Trainer:
         save_every_steps: int | None = None,
         steps_per_dispatch: int = 1,
         ckpt_on_preempt: bool = True,
+        preempt_poll_windows: int = 8,
         watch: bool = False,
     ):
         self.cfg = cfg
@@ -370,6 +371,10 @@ class Trainer:
         # lockstep — and all hosts then save collectively and exit together
         # (a save from one host alone would deadlock the mesh).
         self.ckpt_on_preempt = ckpt_on_preempt and self.auto_ckpt is not None
+        # multihost SIGTERM polls are blocking collectives; poll every Nth
+        # window boundary instead of all of them (single-host polls are a
+        # local flag read and stay per-window)
+        self.preempt_poll_windows = max(1, preempt_poll_windows)
         self._preempted = False
         self._fixed = None
 
@@ -549,9 +554,18 @@ class Trainer:
         ``updates/net{G,D}/...`` — the applied optimizer deltas since the
         previous watch point (the JAX-visible stand-in for the reference's
         gradient hooks).  Host-0 only; one device→host fetch per epoch."""
-        if self.rank != 0:
-            return
         import numpy as np
+
+        def fetch(leaf):
+            # Model-sharded leaves span non-addressable devices under
+            # multihost, where np.asarray raises.  The allgather is a
+            # COLLECTIVE, so every rank runs this function (the host-0
+            # guard sits below, after all fetches).
+            if not getattr(leaf, "is_fully_addressable", True):
+                from jax.experimental import multihost_utils
+
+                leaf = multihost_utils.process_allgather(leaf, tiled=True)
+            return np.asarray(leaf)
 
         def flat(tree, prefix):
             out = {}
@@ -560,13 +574,15 @@ class Trainer:
                     jax.tree_util.keystr(path)
                     .replace("']['", "/").strip("[']")
                 )
-                out[f"{prefix}/{name}"] = np.asarray(leaf)
+                out[f"{prefix}/{name}"] = fetch(leaf)
             return out
 
         params = {
             **flat(self.state.g_params, "netG"),
             **flat(self.state.d_params, "netD"),
         }
+        if self.rank != 0:
+            return
         hists = {f"parameters/{k}": v for k, v in params.items()}
         if self._watch_prev is not None:
             hists.update({
@@ -649,14 +665,23 @@ class Trainer:
                 prev_handler = None
 
         preempt_handled = False
+        boundary_idx = 0  # in-loop window boundaries seen (host-consistent)
 
-        def poll_preempt() -> bool:
+        def poll_preempt(force: bool) -> bool:
             # COLLECTIVE under multihost: every process calls this at the
             # same window boundary (boundaries are a pure function of the
             # step index), all-reducing the host-local SIGTERM flag so all
             # hosts agree to save-and-exit together.
             if jax.process_count() == 1:
                 return self._preempted
+            # The blocking allgather would serialize host batch-prep with
+            # device compute every window; throttle the in-loop polls to
+            # every preempt_poll_windows-th boundary (boundary_idx is the
+            # same on every host, so the collective stays collective).  The
+            # epoch-tail call forces a poll so a SIGTERM is never deferred
+            # past an epoch.
+            if not force and boundary_idx % self.preempt_poll_windows != 0:
+                return False
             from jax.experimental import multihost_utils
 
             flags = multihost_utils.process_allgather(
@@ -664,13 +689,13 @@ class Trainer:
             )
             return bool(np.asarray(flags).any())
 
-        def preempt_save() -> bool:
+        def preempt_save(force: bool = False) -> bool:
             nonlocal preempt_handled
             if not self.ckpt_on_preempt:
                 return False
             if preempt_handled:  # epoch-tail call after the in-loop one: done
                 return True
-            if not poll_preempt():
+            if not poll_preempt(force):
                 return False
             flush_pending()
             step_now = int(self.state.step)
@@ -765,6 +790,7 @@ class Trainer:
                     win.append((batch, step_rng, meta))
                     if len(win) == K or (step + 1) == steps_per_epoch or hit_max:
                         run_window()
+                        boundary_idx += 1
                         if preempt_save():
                             break
                     if grid_due:
@@ -785,7 +811,7 @@ class Trainer:
                 flush_pending()
                 # epoch-tail boundary: catches a SIGTERM that landed after the
                 # last in-loop window check (collective; no-op if already saved)
-                if preempt_save():
+                if preempt_save(force=True):
                     break
                 # per-epoch scalars: last step's values (reference quirk,
                 # train_gan.py:300-321) + throughput
