@@ -19,9 +19,24 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # XLA CPU compiles of the conv graphs dominate suite time; a persistent
-# compilation cache makes every run after the first fast.
-_cache = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+# compilation cache makes every run after the first fast.  A cold container
+# has no cache at all (18m19s measured for the fast tier on 1 vCPU), so the
+# repo ships the fast tier's compiled programs in ci/test_cache (same scheme
+# as ci/dryrun_cache): seed the writable gitignored .jax_cache from the
+# committed entries, so a fresh checkout loads instead of compiles.  Stale
+# seeds (after code edits) just miss and recompile — correctness unaffected.
+_repo = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+_cache = os.path.join(_repo, ".jax_cache")
+_seed = os.path.join(_repo, "ci", "test_cache")
+if os.path.isdir(_seed):
+    import shutil
+
+    os.makedirs(_cache, exist_ok=True)
+    for _f in os.listdir(_seed):
+        _dst = os.path.join(_cache, _f)
+        if not os.path.exists(_dst):
+            shutil.copy(os.path.join(_seed, _f), _dst)
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
