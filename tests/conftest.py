@@ -30,12 +30,28 @@ _cache = os.path.join(_repo, ".jax_cache")
 _seed = os.path.join(_repo, "ci", "test_cache")
 if os.path.isdir(_seed):
     import shutil
+    import tempfile
 
     os.makedirs(_cache, exist_ok=True)
     for _f in os.listdir(_seed):
+        _src = os.path.join(_seed, _f)
         _dst = os.path.join(_cache, _f)
-        if not os.path.exists(_dst):
-            shutil.copy(os.path.join(_seed, _f), _dst)
+        # isfile: a stray subdirectory must not abort collection.
+        if os.path.isfile(_src) and not os.path.exists(_dst):
+            # Atomic publish: xdist workers run this concurrently, and an
+            # interrupted plain copy would leave a truncated entry that the
+            # exists-check then skips forever.  Write to a temp file in the
+            # destination dir and os.replace() into place (same scheme JAX
+            # itself uses for cache writes).
+            _fd, _tmp = tempfile.mkstemp(dir=_cache, prefix=_f + ".seed.")
+            try:
+                with os.fdopen(_fd, "wb") as _out, open(_src, "rb") as _in:
+                    shutil.copyfileobj(_in, _out)
+                os.replace(_tmp, _dst)
+            except BaseException:
+                if os.path.exists(_tmp):
+                    os.unlink(_tmp)
+                raise
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
