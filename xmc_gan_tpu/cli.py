@@ -120,6 +120,29 @@ def parse_args(argv=None) -> argparse.Namespace:
     pl.add_argument("--cfg", default=None,
                     help="YAML config for --build_cache (MAX_LENGTH etc.)")
 
+    pc = sub.add_parser(
+        "prep-coco",
+        help="build the reference dataset artifacts (filenames.pickle, "
+             "captions.pickle, bert_captions.pickle) from raw COCO "
+             "captions_{train,val}2014.json annotations — the producer the "
+             "reference lacks (it inherits AttnGAN's pickles)",
+    )
+    pc.add_argument("--data_dir", required=True,
+                    help="dataset root; images at {data_dir}/images/{key}.jpg")
+    pc.add_argument("--train_json", required=True,
+                    help="COCO caption annotations for the train split "
+                         "(captions_train2014.json)")
+    pc.add_argument("--test_json", required=True,
+                    help="COCO caption annotations for the test split "
+                         "(captions_val2014.json)")
+    pc.add_argument("--caps_per_image", type=int, default=5,
+                    help="caption slots per image (must match "
+                         "cfg.TEXT.CAPTIONS_PER_IMAGE; COCO default 5)")
+    pc.add_argument("--vocab_from", default=None,
+                    help="existing captions.pickle whose (i2w, w2i) to reuse "
+                         "verbatim — keeps AttnGAN-trained DAMSM encoders "
+                         "index-compatible; OOV tokens drop")
+
     cw = sub.add_parser(
         "convert-fid-weights",
         help="convert a torchvision inception_v3 or pytorch_fid checkpoint "
@@ -391,6 +414,15 @@ def run_prep_ln(args: argparse.Namespace) -> dict:
     return counts
 
 
+def run_prep_coco(args: argparse.Namespace) -> dict:
+    from xmc_gan_tpu.data.coco_prep import prepare_coco
+
+    return prepare_coco(
+        args.data_dir, args.train_json, args.test_json,
+        caps_per_image=args.caps_per_image, vocab_from=args.vocab_from,
+    )
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
     if getattr(args, "platform", None):
@@ -414,6 +446,9 @@ def main(argv=None) -> int:
         return 0
     if args.command == "prep-ln":
         print(run_prep_ln(args))
+        return 0
+    if args.command == "prep-coco":
+        print(run_prep_coco(args))
         return 0
     if args.command == "convert-fid-weights":
         print(run_convert_fid_weights(args))
