@@ -19,6 +19,12 @@ Prints exactly ONE JSON line:
 
 Modes (first CLI arg, default ``flagship``):
     flagship — NCH=32 bs128 at 256 px, the headline number above.
+    flagship_word — flagship plus the word-region contrastive loss (T=20
+               captions through the D region head, both D and G sides), i.e.
+               the complete north-star objective: sentence, word-region, and
+               real-fake losses together.  Same A100 anchor (the reference
+               *declares* ENCODER_LOSS.WORD but its implementation raises —
+               train_gan.py:220-222 — so the anchor already charges for it).
     ch96     — the paper config scale (BASELINE.json config #3: COCO 256²,
                ch=96).  The A100 anchor is rescaled by the FLOP ratio of the
                two models so vs_baseline stays an apples-to-apples speedup.
@@ -37,6 +43,7 @@ BASELINE_IMAGES_PER_SEC_PER_CHIP = 90.0  # estimated PyTorch A100 (BASELINE.md)
 # bs32 measured best for ch=96 on the 16 GB chip (BASELINE.md ch96 sweep)
 MODES = {
     "flagship": dict(nch=32, batch_size=128, imsize=256),
+    "flagship_word": dict(nch=32, batch_size=128, imsize=256, word=True),
     "ch96": dict(nch=96, batch_size=32, imsize=256),
     # the reference's own canonical training config (cfg/df_gan_damsm.yml:
     # COCO 64 px, batch 88) — BASELINE.md "reference canonical config" row
@@ -96,6 +103,7 @@ def main() -> None:
     nch = MODES[mode]["nch"]
     batch_size = MODES[mode]["batch_size"]
     imsize = MODES[mode]["imsize"]
+    word = MODES[mode].get("word", False)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmc_jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -113,7 +121,8 @@ def main() -> None:
             "NCH": nch, "NEF": 256, "NOISE_DIM": 100, "HE_INIT": True,
             "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1,
             "BATCH_SIZE": batch_size,
-            "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
+            "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True,
+                             "WORD": word},
             "SMOOTH": {"GLOBAL": 0.0},
         },
         "IMG": {"SIZE": imsize},
@@ -166,6 +175,9 @@ def main() -> None:
         # ~1645 img/s at this config
         baseline = BASELINE_IMAGES_PER_SEC_PER_CHIP * 18.3
         metric = "train_images_per_sec_per_chip_coco64_ref_canonical"
+    if mode == "flagship_word":
+        # same anchor: WORD is part of the reference's declared objective
+        metric = "train_images_per_sec_per_chip_coco256_dfgan_xmc_word"
     if mode == "ch96":
         # same-hardware anchor rescaled by per-image step FLOPs (ch=96 model
         # ≈ 8.9x the ch=32 step by XLA cost analysis; conv FLOPs scale ~ch²)

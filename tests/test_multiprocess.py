@@ -56,12 +56,14 @@ val = float(loss_fn(img_g, txt_g))
 want = float(loss_fn(jnp.asarray(img), jnp.asarray(txt)))
 assert abs(val - want) < 1e-5, (val, want)
 
-# the shard_map row-block word loss across the process boundary: regions
-# stay on each process's devices, words all_gather over a data axis that
-# spans both processes (the DCN path of the LN deployment)
+# the shard_map row-block word loss across the process boundary AT THE LN
+# DEPLOYMENT GEOMETRY (T=200 captions, forced onto the multi-block streaming
+# path): regions stay on each process's devices, words all_gather over a
+# data axis that spans both processes (the DCN path of the LN deployment).
+# Loss AND input gradient must match the single-process blockwise oracle.
 from xmc_gan_tpu.parallel.collectives import make_sharded_word_scores
 
-R, T = 6, 5
+R, T = 64, 200
 regions = rng.randn(B, R, D).astype(np.float32)
 words = rng.randn(B, T, D).astype(np.float32)
 mask = rng.rand(B, T) > 0.7
@@ -73,20 +75,28 @@ w_g = multihost_utils.host_local_array_to_global_array(
     words[sl], mesh, P("data", None, None))
 m_g = multihost_utils.host_local_array_to_global_array(
     mask[sl], mesh, P("data", None))
-sharded_scores = make_sharded_word_scores(mesh, block_elems=32)
+# block_elems 1<<14 -> per-row-block score buffers of B*R*T=16*64*200 elems
+# stream in >=13 blocks: genuinely exercises the lax.scan streaming path
+sharded_scores = make_sharded_word_scores(mesh, block_elems=1 << 14)
 
-@jax.jit
 def wloss(r, w, m, t):
     labels = losses.make_labels(t, False, 0.5)
     return losses.word_loss_from_scores(
         sharded_scores(r, w, m), labels, False, 0.5)
 
-wv = float(wloss(r_g, w_g, m_g, txt_g))
-wwant = float(losses.word_loss(
-    jnp.asarray(regions), jnp.asarray(words), jnp.asarray(mask),
-    losses.make_labels(jnp.asarray(txt), False, 0.5), False, 0.5,
-    block_elems=32))
+wv, wg = jax.jit(jax.value_and_grad(wloss))(r_g, w_g, m_g, txt_g)
+wv, wgn = float(wv), float(jnp.vdot(wg, wg))
+
+def wref(r):
+    return losses.word_loss(
+        r, jnp.asarray(words), jnp.asarray(mask),
+        losses.make_labels(jnp.asarray(txt), False, 0.5), False, 0.5,
+        block_elems=1 << 14)
+
+wwant, wgref = jax.jit(jax.value_and_grad(wref))(jnp.asarray(regions))
+wwant, wgrefn = float(wwant), float(jnp.vdot(wgref, wgref))
 assert abs(wv - wwant) < 1e-5, (wv, wwant)
+assert abs(wgn - wgrefn) < 1e-5 * max(1.0, abs(wgrefn)), (wgn, wgrefn)
 
 print(f"proc {jax.process_index()} loss {val:.6f} word {wv:.6f} ok", flush=True)
 """
