@@ -55,20 +55,21 @@ EMB_DIM = 256
 
 
 def build_cfg(nch: int, bs: int, word: bool = False, gen: str = "DF_GEN",
-              disc: str = "DF_DISC"):
+              disc: str = "DF_DISC", img_match: bool | None = None):
     # reference hyperparameters (cfg/df_gan_damsm.yml): G lr 1e-4 / D 4e-4,
     # betas (0, 0.9), MAGP + RMIS + SENT + DISC, B_GLOBAL soft labels.
     # word=True additionally turns on XMC's word-region attentional loss
     # (the north-star objective) over the D's 16x16 region head.
-    # disc=CONCEPT_NETD uses the concept discriminator with the projection
-    # mode its reference config selects (cfg/concept_out_df_gan.yml:36-37:
-    # SENT_MATCH, not IMG_MATCH).
-    disc_cfg = (
-        {"ENCODER_NAME": disc, "SPEC_NORM": True, "SENT_MATCH": True,
-         "IMG_MATCH": False}
-        if disc == "CONCEPT_NETD"
-        else {"ENCODER_NAME": disc, "SPEC_NORM": True, "IMG_MATCH": True}
-    )
+    # disc=CONCEPT_NETD defaults to the projection mode its reference config
+    # selects (cfg/concept_out_df_gan.yml:36-37: SENT_MATCH, not IMG_MATCH);
+    # img_match=True overrides to the IMG_MATCH head (a framework extension
+    # for CONCEPT_NETD — the plateau ablation, BASELINE.md).
+    if disc == "CONCEPT_NETD":
+        im = bool(img_match)
+        disc_cfg = {"ENCODER_NAME": disc, "SPEC_NORM": True,
+                    "SENT_MATCH": not im, "IMG_MATCH": im}
+    else:
+        disc_cfg = {"ENCODER_NAME": disc, "SPEC_NORM": True, "IMG_MATCH": True}
     return cfg_from_dict({
         "CONFIG_NAME": "TOY_LEARN",
         "TRAIN": {
@@ -83,6 +84,39 @@ def build_cfg(nch: int, bs: int, word: bool = False, gen: str = "DF_GEN",
         "GEN": {"ENCODER_NAME": gen},
         "DISC": disc_cfg,
     })
+
+
+def sigma_probe(d_params, d_spectral) -> tuple[float, float]:
+    """How converged is the power-iteration sigma estimate?  Returns
+    (max, mean) relative error of ``u^T W v`` vs the exact top singular value
+    over every spectral-normalized kernel — the direct measurement behind the
+    1-vs-5 refresh-cadence claim (reference refreshes once per D forward,
+    ``/root/reference/xmc_gan/model/modules.py:13-33``; this framework once
+    per step by default, ``train.refresh_spectral``)."""
+    import flax
+
+    errs: list[float] = []
+
+    def walk(spec_node, param_node):
+        if isinstance(spec_node, dict) and set(spec_node) >= {"u", "v"} \
+                and "kernel" in param_node:
+            k = np.asarray(param_node["kernel"], np.float32)
+            u = np.asarray(spec_node["u"], np.float32)
+            v = np.asarray(spec_node["v"], np.float32)
+            if k.ndim == 3 and u.shape[0] == k.shape[0] * k.shape[-1]:
+                w = k.transpose(1, 0, 2).reshape(k.shape[1], -1).T
+            else:
+                w = np.moveaxis(k, -1, 0).reshape(k.shape[-1], -1)
+            sig_pi = float(u @ (w @ v))
+            sig_true = float(np.linalg.svd(w, compute_uv=False)[0])
+            errs.append(abs(sig_pi - sig_true) / max(sig_true, 1e-12))
+            return
+        for kk, vv in spec_node.items():
+            if isinstance(vv, dict):
+                walk(vv, param_node[kk])
+
+    walk(flax.core.unfreeze(d_spectral), flax.core.unfreeze(d_params))
+    return (max(errs), float(np.mean(errs))) if errs else (0.0, 0.0)
 
 
 def make_batch(rng: np.random.RandomState, bs: int) -> dict:
@@ -110,17 +144,34 @@ def main() -> None:
         di = args.index("--disc")
         disc = args[di + 1]
         del args[di:di + 2]
+    img_match = None
+    if "--img_match" in args:
+        img_match = True
+        args.remove("--img_match")
+    spectral_iters = 1
+    if "--spectral_iters" in args:
+        si = args.index("--spectral_iters")
+        spectral_iters = int(args[si + 1])
+        del args[si:si + 2]
+    if "--platform" in args:
+        pi = args.index("--platform")
+        # config-level, not env: the container sitecustomize pins
+        # jax_platforms after reading JAX_PLATFORMS (see cli.py main)
+        jax.config.update("jax_platforms", args[pi + 1])
+        del args[pi:pi + 2]
     steps = int(args[0]) if len(args) > 0 else 2000
     bs = int(args[1]) if len(args) > 1 else 64
     nch = int(args[2]) if len(args) > 2 else 32
     eval_every = max(steps // 10, 1)
 
-    cfg = build_cfg(nch, bs, use_word, gen, disc)
+    cfg = build_cfg(nch, bs, use_word, gen, disc, img_match)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     g_model, d_model = make_models(cfg, dtype)
     state = create_train_state(cfg, jax.random.PRNGKey(100))
     step = jax.jit(
-        make_train_step(cfg, g_model, d_model, dtype=dtype), donate_argnums=(0,)
+        make_train_step(cfg, g_model, d_model, dtype=dtype,
+                        spectral_iters=spectral_iters),
+        donate_argnums=(0,),
     )
 
     @jax.jit
@@ -169,11 +220,14 @@ def main() -> None:
         )
         fake_stats = fid.stats()
         fid.update(fake_stats, jnp.asarray(fake))
+        sig_max, sig_mean = sigma_probe(state.d_params, state.d_spectral)
         return {
             "color_acc": float((color == eval_attrs[:, 0]).mean()),
             "pos_acc": float((pos == eval_attrs[:, 2]).mean()),
             "d_margin": float(matched) - float(mismatched),
             "fid_proxy": float(fid.fid(real_stats, fake_stats)),
+            "sigma_err_max": sig_max,
+            "sigma_err_mean": sig_mean,
         }
 
     rng = np.random.RandomState(0)
@@ -210,7 +264,8 @@ def main() -> None:
 
     init, tail = history[0], history[-(len(history) // 3 + 1):]
     final = {k: float(np.mean([h[k] for h in tail]))
-             for k in ("color_acc", "pos_acc", "d_margin", "fid_proxy")}
+             for k in ("color_acc", "pos_acc", "d_margin", "fid_proxy",
+                       "sigma_err_max", "sigma_err_mean")}
     grid_path = args[3] if len(args) > 3 else None
     if grid_path:
         from xmc_gan_tpu.utils.miscc import save_image_grid
@@ -230,6 +285,9 @@ def main() -> None:
 
     verdict = {
         "steps": steps, "bs": bs, "nch": nch, "gen": gen, "disc": disc,
+        "img_match": bool(img_match), "spectral_iters": spectral_iters,
+        "sigma_err_max_final": round(final["sigma_err_max"], 5),
+        "sigma_err_mean_final": round(final["sigma_err_mean"], 5),
         "train_seconds": round(dt, 1),
         "img_per_sec": round(steps * bs / dt, 1),
         "color_acc_init": round(init["color_acc"], 3),

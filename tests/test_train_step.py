@@ -136,6 +136,42 @@ def test_spectral_state_refreshes():
         assert bool(jnp.all(jnp.isfinite(val))), name
 
 
+def test_refresh_spectral_iters_converges_to_top_singular_value():
+    """``refresh_spectral(iters=N)``: N power-iteration steps per call.
+    iters=1 is one step (the default cadence); a large N drives u^T W v to
+    the exact top singular value — the property behind the 1-vs-5 cadence
+    A/B (reference refreshes once per D forward, modules.py:13-33; BASELINE
+    'Spectral-norm refresh cadence')."""
+    import numpy as np
+
+    from xmc_gan_tpu.train import refresh_spectral
+
+    rng = np.random.RandomState(3)
+    kernel = jnp.asarray(rng.randn(24, 16), jnp.float32)  # dense [in, out]
+    params = {"lin": {"kernel": kernel}}
+    u0 = rng.randn(16).astype(np.float32)
+    u0 /= np.linalg.norm(u0)
+    spec = {"lin": {"u": jnp.asarray(u0), "v": jnp.zeros((24,), jnp.float32)}}
+
+    sig_true = float(np.linalg.svd(np.asarray(kernel).T, compute_uv=False)[0])
+
+    def sigma(s):
+        w = np.asarray(kernel).T  # [out, in], the power-iteration layout
+        return float(np.asarray(s["lin"]["u"]) @ (w @ np.asarray(s["lin"]["v"])))
+
+    s1 = refresh_spectral(params, spec, iters=1)
+    s50 = refresh_spectral(params, spec, iters=50)
+    # 50 fused steps == 50 sequential single steps (pure function of (u, W))
+    s_seq = spec
+    for _ in range(50):
+        s_seq = refresh_spectral(params, s_seq, iters=1)
+    assert np.allclose(np.asarray(s50["lin"]["u"]),
+                       np.asarray(s_seq["lin"]["u"]), atol=1e-5)
+    # convergence: 50 steps is strictly better than 1, and near-exact
+    assert abs(sigma(s50) - sig_true) <= abs(sigma(s1) - sig_true) + 1e-6
+    assert abs(sigma(s50) - sig_true) < 1e-3 * sig_true
+
+
 def test_seperate_mode_conditions_on_raw_sentence():
     cfg = tiny_cfg(DISC={"SEPERATE": True, "IMG_MATCH": False},
                    TRAIN={"ENCODER_LOSS": {"SENT": False, "DISC": False}, "MAGP": False})

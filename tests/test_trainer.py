@@ -279,6 +279,11 @@ def test_cli_platform_flag():
     assert not getattr(cli.parse_args(
         ["convert-fid-weights", "--src", "a", "--out", "b"]
     ), "platform", None)
+    # spectral-norm refresh cadence knob (1 = default, 5 = reference count)
+    assert cli.parse_args(["train", "--cfg", "x.yml"]).spectral_iters == 1
+    assert cli.parse_args(
+        ["train", "--cfg", "x.yml", "--spectral_iters", "5"]
+    ).spectral_iters == 5
 
 
 @pytest.mark.slow

@@ -57,6 +57,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     t.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="fuse K optimization steps into one device dispatch "
                         "(lax.scan) to amortize host round-trips")
+    t.add_argument("--spectral_iters", type=int, default=1,
+                   help="spectral-norm power-iteration refreshes per step "
+                        "(1 = default, A/B'd equivalent; 5 = the reference's "
+                        "per-forward count — BASELINE.md)")
     t.add_argument("--resume_auto", action="store_true",
                    help="resume from the newest auto checkpoint")
     t.add_argument("--debug_nans", action="store_true",
@@ -246,6 +250,7 @@ def run_train(args: argparse.Namespace) -> dict:
         save_every_steps=args.save_every_steps,
         steps_per_dispatch=args.steps_per_dispatch,
         watch=args.watch,
+        spectral_iters=args.spectral_iters,
     )
     trainer.logger.info("Using config:")
     trainer.logger.info(str(cfg.to_dict()))

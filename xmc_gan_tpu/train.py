@@ -101,11 +101,17 @@ def create_train_state(cfg: Config, rng: Array, dtype=jnp.float32) -> TrainState
     )
 
 
-def refresh_spectral(d_params: Params, d_spectral: Params) -> Params:
-    """One power-iteration step for every spectral-normalized kernel, computed
-    directly from the parameters (the reference refreshes inside each forward;
-    one refresh per step is equivalent up to power-iteration convergence
-    speed)."""
+def refresh_spectral(d_params: Params, d_spectral: Params, iters: int = 1) -> Params:
+    """``iters`` power-iteration steps for every spectral-normalized kernel,
+    computed directly from the parameters.  The reference refreshes inside
+    each D forward — up to 5 per step (``train_gan.py:193,201,207,231-252,259``
+    via torch ``spectral_norm``); the default here is one refresh per step,
+    measured equivalent on the 2000-step toy-learning A/B (BASELINE.md
+    'Spectral-norm refresh cadence', 2026-08-20): 5 iters halves the sigma
+    tracking error (mean 0.8% vs 1.9% vs the exact top singular value) but
+    every training metric is indistinguishable — identical 1.00/1.00
+    held-out conditioning, D margin within 0.5%.  ``iters=5`` reproduces the
+    reference count (``--spectral_iters 5``)."""
 
     def walk(spec_node: dict, param_node: dict) -> dict:
         if set(spec_node.keys()) >= {"u", "v"} and "kernel" in param_node:
@@ -122,11 +128,12 @@ def refresh_spectral(d_params: Params, d_spectral: Params) -> Params:
             else:
                 out_features = kernel.shape[-1]
                 w = jnp.moveaxis(kernel, -1, 0).reshape(out_features, -1).astype(jnp.float32)
-            u = spec_node["u"]
-            v = w.T @ u
-            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
-            u = w @ v
-            u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+            u, v = spec_node["u"], spec_node["v"]
+            for _ in range(iters):
+                v = w.T @ u
+                v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+                u = w @ v
+                u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
             return {**spec_node, "u": u, "v": v}
         return {
             k: walk(vv, param_node[k]) if isinstance(vv, dict) else vv
@@ -148,6 +155,7 @@ def make_train_step(
     mesh=None,
     word_block_elems: int | None = None,
     remat: bool = False,
+    spectral_iters: int = 1,
 ) -> Callable[[TrainState, dict, Array], tuple[TrainState, dict]]:
     """Build the jitted-able train step for a given (static) config.
 
@@ -169,6 +177,10 @@ def make_train_step(
     default (the conv trunk is HBM-bandwidth-bound; remat is for fitting
     large-batch configs, e.g. the 256px NCH=96 paper config at 8 img/device —
     see benchmarks/tp_memory.py).
+
+    ``spectral_iters``: power-iteration refreshes per step (see
+    ``refresh_spectral``; 1 = this framework's default, 5 = the reference's
+    per-forward count — A/B'd equivalent, BASELINE.md).
     """
     if g_model is None or d_model is None:
         g_model, d_model = make_models(cfg, dtype)
@@ -271,7 +283,9 @@ def make_train_step(
 
         noise = jax.random.normal(rng, (bs, t.NOISE_DIM), jnp.float32)
 
-        spectral = refresh_spectral(state.d_params, state.d_spectral)
+        spectral = refresh_spectral(
+            state.d_params, state.d_spectral, iters=spectral_iters
+        )
 
         # D is conditioned on G's sentence projection, detached
         # (reference train_gan.py:188-191,194).

@@ -136,6 +136,7 @@ class Trainer:
         ckpt_on_preempt: bool = True,
         preempt_poll_windows: int = 8,
         watch: bool = False,
+        spectral_iters: int = 1,
     ):
         self.cfg = cfg
         self.seed = seed
@@ -226,7 +227,12 @@ class Trainer:
         self.logger.info(f"netG # of parameters: {count_params(self.state.g_params)}")
         self.logger.info(f"netD # of parameters: {count_params(self.state.d_params)}")
 
-        step_fn = make_train_step(cfg, dtype=dtype, mesh=mesh)
+        # spectral_iters=1 is the default cadence (A/B'd equivalent to the
+        # reference's up-to-5-per-step refresh; BASELINE.md "Spectral-norm
+        # refresh cadence"); 5 reproduces the reference count exactly.
+        step_fn = make_train_step(
+            cfg, dtype=dtype, mesh=mesh, spectral_iters=spectral_iters
+        )
         self._vgg_vars = None
         if cfg.TRAIN.ENCODER_LOSS.VGG:
             # frozen VGG-19 for the perceptual contrastive loss; weights from
