@@ -8,7 +8,10 @@ occupancy) vs the DMA/infeed streams — direct evidence for (or against) the
 cost-analysis-derived claim that the step is HBM-bandwidth-dominated with
 ~69% sustained DMA and ~38% MXU.
 
-Usage: python benchmarks/roofline_trace.py [STEPS] [OUTDIR]
+Usage: python benchmarks/roofline_trace.py [STEPS] [OUTDIR] [NCH] [BS] [T_LEN] [T_DIM]
+(defaults 5 /tmp/xmc_roofline_trace 32 128 20 256 — the flagship shape;
+``96 32 200 768`` traces the LN deployment step's WORD-off remainder, i.e.
+`benchmarks/ln_step.py` component 1.)
 """
 
 from __future__ import annotations
@@ -30,20 +33,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_traced_steps(n_steps: int, outdir: str) -> None:
+def run_traced_steps(n_steps: int, outdir: str, nch: int = 32, bs: int = 128,
+                     t_len: int = 20, t_dim: int = 256) -> None:
     from xmc_gan_tpu.config import cfg_from_dict
     from xmc_gan_tpu.train import create_train_state, make_train_step
 
-    bs = 128
     cfg = cfg_from_dict({
         "TRAIN": {
-            "NCH": 32, "NEF": 256, "NOISE_DIM": 100, "HE_INIT": True,
+            "NCH": nch, "NEF": 256, "NOISE_DIM": 100, "HE_INIT": True,
             "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1, "BATCH_SIZE": bs,
             "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
             "SMOOTH": {"GLOBAL": 0.0},
         },
         "IMG": {"SIZE": 256},
-        "TEXT": {"EMBEDDING_DIM": 256, "MAX_LENGTH": 20},
+        "TEXT": {"EMBEDDING_DIM": t_dim, "MAX_LENGTH": t_len},
         "DISC": {"SPEC_NORM": True, "IMG_MATCH": True},
     })
     state = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -51,9 +54,9 @@ def run_traced_steps(n_steps: int, outdir: str) -> None:
     rng = np.random.RandomState(0)
     batch = {
         "imgs": jnp.asarray(rng.uniform(-1, 1, (bs, 256, 256, 3)), jnp.float32),
-        "sent_embs": jnp.asarray(rng.randn(bs, 256), jnp.float32),
-        "words_embs": jnp.asarray(rng.randn(bs, 20, 256), jnp.float32),
-        "mask": jnp.asarray(rng.rand(bs, 20) > 0.7),
+        "sent_embs": jnp.asarray(rng.randn(bs, t_dim), jnp.float32),
+        "words_embs": jnp.asarray(rng.randn(bs, t_len, t_dim), jnp.float32),
+        "mask": jnp.asarray(rng.rand(bs, t_len) > 0.7),
     }
     key = jax.random.PRNGKey(1)
     for _ in range(3):  # compile + warm
@@ -133,7 +136,11 @@ def analyze(outdir: str) -> None:
 def main() -> None:
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/xmc_roofline_trace"
-    run_traced_steps(n_steps, outdir)
+    nch = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    bs = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+    t_len = int(sys.argv[5]) if len(sys.argv) > 5 else 20
+    t_dim = int(sys.argv[6]) if len(sys.argv) > 6 else 256
+    run_traced_steps(n_steps, outdir, nch, bs, t_len, t_dim)
     analyze(outdir)
 
 

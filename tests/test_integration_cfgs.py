@@ -125,3 +125,34 @@ def test_n_critic_2_alternates_g_updates():
     state, m2 = step(state, batch, jax.random.PRNGKey(2))
     assert float(m2["g_updated"]) == 1.0  # step 2: D + G
     assert total_delta(state.g_params, g0) > 0.0
+
+
+def test_concept_netd_img_match_one_step():
+    """CONCEPT_NETD with the IMG_MATCH head — a framework extension (the
+    reference's concept D_GET_LOGITS has no IMG_MATCH branch,
+    ``df_concept_gan.py:681-703``; added for the plateau ablation, BASELINE.md
+    "CONCEPT_NETD plateau"): pooled trunk features project into the text
+    space, so the sentence contrastive loss pairs [B, NEF] x [B, NEF]."""
+    from xmc_gan_tpu.config import cfg_from_dict
+
+    cfg = cfg_from_dict({
+        "TRAIN": {
+            "NCH": 8, "NEF": 32, "NOISE_DIM": 16, "HE_INIT": True,
+            "RMIS_LOSS": True, "MAGP": False, "N_CRITIC": 1, "BATCH_SIZE": 4,
+            "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
+            "SMOOTH": {"GLOBAL": 0.0},
+        },
+        "GEN": {"ENCODER_NAME": "CONCEPT_OUT_DF_GEN"},
+        "IMG": {"SIZE": 64},
+        "TEXT": {"EMBEDDING_DIM": 48, "MAX_LENGTH": 6},
+        "DISC": {"ENCODER_NAME": "CONCEPT_NETD", "SPEC_NORM": True,
+                 "SENT_MATCH": False, "IMG_MATCH": True},
+    })
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    # the head projects the image side: proj_match maps ndf*16 -> NEF
+    pm = state.d_params["cond_dnet"]["proj_match"]["kernel"]
+    assert pm.shape == (cfg.TRAIN.NCH * 16, cfg.TRAIN.NEF), pm.shape
+    step = jax.jit(make_train_step(cfg))
+    state, metrics = step(state, _batch(cfg), jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)

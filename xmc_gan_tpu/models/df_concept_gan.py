@@ -517,7 +517,19 @@ class ConceptDGetLogits(nn.Module):
 
         out = global_avg_pool(x)  # [B, ndf*16] (reference adaptive_avg_pool2d)
 
-        if cfg.DISC.SENT_MATCH:
+        if cfg.DISC.IMG_MATCH:
+            # Framework extension: the reference's concept head has no
+            # IMG_MATCH branch (``df_concept_gan.py:681-703`` — only
+            # SENT_MATCH / project-sent-to-nef), so CONCEPT_NETD could only
+            # ever condition through the weaker sentence-side projection.
+            # Mirror DF_DISC's IMG_MATCH (``df_gan.py:134-176``): project the
+            # pooled image features into the text space instead.  Measured
+            # effect on toy conditioning: BASELINE.md "CONCEPT_NETD plateau".
+            k, b = inits(he, ndf * 16)
+            out = SNDense(nef, spec_norm=spec_norm, kernel_init=k,
+                          bias_init=b, name="proj_match")(out)
+            cond_dim = in_dim
+        elif cfg.DISC.SENT_MATCH:
             k, b = inits(he, in_dim)
             sent_embs = SNDense(ndf * 16, spec_norm=spec_norm, kernel_init=k,
                                 bias_init=b, name="proj_match")(sent_embs)
