@@ -95,6 +95,8 @@ def sigma_probe(d_params, d_spectral) -> tuple[float, float]:
     per step by default, ``train.refresh_spectral``)."""
     import flax
 
+    from xmc_gan_tpu.train import matricize_spectral_kernel
+
     errs: list[float] = []
 
     def walk(spec_node, param_node):
@@ -103,10 +105,10 @@ def sigma_probe(d_params, d_spectral) -> tuple[float, float]:
             k = np.asarray(param_node["kernel"], np.float32)
             u = np.asarray(spec_node["u"], np.float32)
             v = np.asarray(spec_node["v"], np.float32)
-            if k.ndim == 3 and u.shape[0] == k.shape[0] * k.shape[-1]:
-                w = k.transpose(1, 0, 2).reshape(k.shape[1], -1).T
-            else:
-                w = np.moveaxis(k, -1, 0).reshape(k.shape[-1], -1)
+            # same matricization the train step uses — shared helper, so the
+            # probe cannot drift from refresh_spectral's layout rules
+            w = np.asarray(matricize_spectral_kernel(k, u.shape[0]),
+                           np.float32)
             sig_pi = float(u @ (w @ v))
             sig_true = float(np.linalg.svd(w, compute_uv=False)[0])
             errs.append(abs(sig_pi - sig_true) / max(sig_true, 1e-12))

@@ -27,6 +27,13 @@ the repo to the driver; ``regen`` on a MISS.  Both force the simulated
 8-device CPU platform themselves (no env vars needed) and run compile-only
 (no scenario execution), so ``check`` against a fresh seed finishes in
 ~1-2 min warm on a 1-vCPU host vs the dry run's ~280 s.
+
+Two non-obvious properties, both measured 2026-08-20: the persistent-cache
+key covers the cache directory *path* (identical entries at a different
+path all miss), so check/regen stash-and-restore the canonical
+``/tmp/xmc_jax_cache`` rather than using a tempdir; and the check must
+start from an empty dir seeded only with the committed entries, or leftovers
+from a previous local dry run mask a stale seed as FRESH.
 """
 
 from __future__ import annotations
@@ -41,24 +48,70 @@ _DRYRUN_SEED = os.path.join(_REPO, "ci", "dryrun_cache")
 _TEST_SEED = os.path.join(_REPO, "ci", "test_cache")
 _N_DEVICES = 8  # the driver's dryrun_multichip geometry
 
+# The dry run's writable compile cache.  The persistent-cache key covers the
+# cache *directory path* itself (measured 2026-08-20: entries copied to a
+# different path all miss; the same entries at this path all hit), so both
+# check and regen MUST run at the exact path the driver's dryrun uses —
+# a throwaway tempdir can never match the committed entries.
+_CANONICAL_CACHE = "/tmp/xmc_jax_cache"
 
-def _compile_scenarios() -> int:
+
+class _stashed_canonical_cache:
+    """Run the body against an EMPTY ``_CANONICAL_CACHE`` (seeded only by
+    ``_run_scenarios`` from the committed entries), parking any existing warm
+    cache and restoring it afterwards — entries a previous local run wrote
+    there would otherwise satisfy every lookup and mask a stale seed."""
+
+    def __enter__(self) -> str:
+        self._stash = None
+        if os.path.isdir(_CANONICAL_CACHE):
+            self._stash = _CANONICAL_CACHE + ".stash"
+            if os.path.isdir(self._stash):  # leftover from a hard kill
+                shutil.rmtree(self._stash)
+            os.rename(_CANONICAL_CACHE, self._stash)
+        return _CANONICAL_CACHE
+
+    def __exit__(self, *exc) -> None:
+        if os.path.isdir(_CANONICAL_CACHE):
+            shutil.rmtree(_CANONICAL_CACHE)
+        if self._stash:
+            os.rename(self._stash, _CANONICAL_CACHE)
+
+
+def _compile_scenarios(cache_dir: str) -> int:
     """AOT-compile the dry-run scenarios in-process; return #scenario misses.
 
-    ``dryrun_multichip`` (and thus ``_run_scenarios``) seeds the writable
-    ``/tmp/xmc_jax_cache`` from ``ci/dryrun_cache`` itself, forces the
-    simulated CPU platform, and sets ``jax_disable_most_optimizations`` —
-    everything that shapes the cache key — so this wrapper only needs to
-    import and call it.
+    ``_run_scenarios`` seeds ``cache_dir`` from ``ci/dryrun_cache`` itself,
+    forces the simulated CPU platform, and sets
+    ``jax_disable_most_optimizations`` — everything that shapes the cache
+    key — so this wrapper only needs to import and call it.
     """
     sys.path.insert(0, _REPO)
     import __graft_entry__ as ge
 
-    return ge._run_scenarios(_N_DEVICES, compile_only=True)
+    return ge._run_scenarios(_N_DEVICES, compile_only=True,
+                             cache_dir=cache_dir)
+
+
+def _recover_parked(seed: str) -> None:
+    """Make regen re-runnable after a hard kill (SIGKILL/OOM) mid-regen.
+
+    A leftover ``<seed>.parked`` holds the last good committed seed; the
+    seed dir itself may be empty or half-harvested.  Restore the parked
+    copy before doing anything else.
+    """
+    parked = seed + ".parked"
+    if os.path.isdir(parked):
+        print(f"recovering {os.path.basename(parked)} left by an "
+              f"interrupted regen — restoring it as the seed")
+        if os.path.isdir(seed):
+            shutil.rmtree(seed)
+        os.rename(parked, seed)
 
 
 def cmd_check() -> int:
-    misses = _compile_scenarios()
+    with _stashed_canonical_cache() as cache_dir:
+        misses = _compile_scenarios(cache_dir)
     if misses:
         print(
             f"\nSTALE: {misses}/4 dry-run scenarios missed the committed "
@@ -74,37 +127,38 @@ def cmd_check() -> int:
 
 
 def cmd_regen() -> int:
-    # Compile into a fresh writable dir with NO committed seed visible, so
-    # the new entries are exactly what the current code produces.  The
-    # in-process helper always uses /tmp/xmc_jax_cache and seeds it from
-    # ci/dryrun_cache, so: park the committed seed, clear the tmp dir,
-    # compile, harvest, restore.
-    tmp_cache = "/tmp/xmc_jax_cache"
+    # Compile at the canonical cache path (the key covers the path — see
+    # _CANONICAL_CACHE) but with NO committed seed visible, so the new
+    # entries are exactly what the current code produces: park the committed
+    # seed (the helper copy-if-missing seeds from it), stash any warm cache,
+    # compile, harvest, restore both.
+    _recover_parked(_DRYRUN_SEED)
     parked = _DRYRUN_SEED + ".parked"
-    if os.path.isdir(tmp_cache):
-        shutil.rmtree(tmp_cache)
     os.rename(_DRYRUN_SEED, parked)
     os.makedirs(_DRYRUN_SEED)  # empty seed: every scenario compiles fresh
     try:
-        _compile_scenarios()
-        new = sorted(
-            f for f in os.listdir(tmp_cache) if f.startswith("jit_train_step")
-        )
+        with _stashed_canonical_cache() as cache_dir:
+            _compile_scenarios(cache_dir)
+            new = sorted(
+                f for f in os.listdir(cache_dir)
+                if f.startswith("jit_train_step")
+            )
+            for f in new:
+                shutil.copy(os.path.join(cache_dir, f),
+                            os.path.join(_DRYRUN_SEED, f))
         if not new:
             print("regen: no jit_train_step entries produced — aborting, "
                   "committed seed left unchanged")
             os.rmdir(_DRYRUN_SEED)
             os.rename(parked, _DRYRUN_SEED)
             return 1
-        for f in new:
-            shutil.copy(os.path.join(tmp_cache, f), os.path.join(_DRYRUN_SEED, f))
         shutil.rmtree(parked)
         print(f"\nregen: ci/dryrun_cache replaced with {len(new)} entries:")
         for f in new:
             sz = os.path.getsize(os.path.join(_DRYRUN_SEED, f))
             print(f"  {f} ({sz / 1e6:.1f} MB)")
-        print("Verify with `python __graft_entry__.py dryrun 8` (expect "
-              "'cache hit' on every scenario), then commit ci/dryrun_cache.")
+        print("Verify with `python ci/cache_tools.py check` (expect FRESH), "
+              "then commit ci/dryrun_cache.")
         return 0
     except BaseException:
         # restore the parked seed on any failure
@@ -122,6 +176,7 @@ def cmd_regen_tests() -> int:
     machine.  Entries are whatever the tier compiles for >1 s — the same
     min-compile-time threshold conftest configures.
     """
+    _recover_parked(_TEST_SEED)
     jax_cache = os.path.join(_REPO, ".jax_cache")
     if os.path.isdir(jax_cache):
         shutil.rmtree(jax_cache)
@@ -140,11 +195,22 @@ def cmd_regen_tests() -> int:
             os.rmdir(_TEST_SEED)
             os.rename(parked, _TEST_SEED)
             return rc
-        entries = sorted(os.listdir(jax_cache))
+        entries = sorted(
+            f for f in os.listdir(jax_cache)
+            if os.path.isfile(os.path.join(jax_cache, f))
+        )
+        if not entries:
+            # A zero-entry harvest (everything compiled under the 1 s
+            # persistence threshold, or the tier was mass-deselected) must
+            # not destroy the good committed seed.
+            print("regen-tests: fast tier produced no cache entries — "
+                  "aborting, committed seed left unchanged")
+            os.rmdir(_TEST_SEED)
+            os.rename(parked, _TEST_SEED)
+            return 1
         for f in entries:
-            src = os.path.join(jax_cache, f)
-            if os.path.isfile(src):
-                shutil.copy(src, os.path.join(_TEST_SEED, f))
+            shutil.copy(os.path.join(jax_cache, f),
+                        os.path.join(_TEST_SEED, f))
         shutil.rmtree(parked)
         print(f"regen-tests: ci/test_cache replaced with {len(entries)} "
               "entries; commit ci/test_cache.")

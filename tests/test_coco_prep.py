@@ -151,6 +151,42 @@ def test_prepare_coco_vocab_from_reuses_indices(tmp_path):
     assert test_enc[0] == [2, 3]      # 'sits' dropped as OOV
 
 
+def test_prepare_coco_vocab_from_never_writes_empty_captions(tmp_path):
+    """An all-OOV caption must count as invalid under --vocab_from: validity
+    is judged on the encoded result, so captions.pickle never contains an
+    empty caption (the no-empty-caption invariant the reference's
+    get_caption relies on) and the caps_per_image layout stays aligned."""
+    data_dir = str(tmp_path)
+    train_caps = {
+        # caption 1 is entirely OOV under the old vocab -> must be replaced
+        # by a valid one, not encoded to []
+        0: ["a dog runs", "zebra xylophone", "a dog runs",
+            "a dog runs", "a dog runs"],
+        # every caption all-OOV -> the image itself drops
+        1: ["zebra xylophone"] * 5,
+    }
+    _coco_json(f"{data_dir}/t.json", "train", 2, train_caps)
+    _coco_json(f"{data_dir}/v.json", "val", 1, {0: ["a dog"] * 5}, start_id=9)
+
+    i2w = {0: "<end>", 1: "a", 2: "dog", 3: "runs"}
+    w2i = {w: i for i, w in i2w.items()}
+    vocab_path = f"{data_dir}/old_captions.pickle"
+    with open(vocab_path, "wb") as f:
+        pickle.dump([[], [], i2w, w2i], f)
+
+    summary = prepare_coco(
+        data_dir, f"{data_dir}/t.json", f"{data_dir}/v.json",
+        caps_per_image=5, vocab_from=vocab_path,
+    )
+    assert summary["train_images"] == 1 and summary["dropped_train"] == 1
+    with open(f"{data_dir}/captions.pickle", "rb") as f:
+        train_enc, test_enc, _, _ = pickle.load(f)[:4]
+    assert len(train_enc) == 1 * 5 and len(test_enc) == 1 * 5
+    assert all(len(c) > 0 and 0 not in c for c in train_enc + test_enc)
+    # slot 1's all-OOV caption was backfilled with a valid neighbour
+    assert train_enc[1] == [1, 2, 3]
+
+
 def test_prep_coco_cli(tmp_path):
     from xmc_gan_tpu.cli import main
 

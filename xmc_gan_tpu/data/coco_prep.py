@@ -28,7 +28,10 @@ no valid caption at all are dropped from the split — the layout invariant
 
 To reuse an existing AttnGAN/DAMSM vocabulary verbatim (index-exact), pass
 ``vocab_from=`` an existing ``captions.pickle``: its ``(i2w, w2i)`` are kept
-and out-of-vocabulary tokens drop (AttnGAN's ``t in wordtoix`` filter).
+and out-of-vocabulary tokens drop (AttnGAN's ``t in wordtoix`` filter).  A
+caption left with zero tokens by that drop counts as *invalid* — validity is
+judged on the encoded result, so the written ``captions.pickle`` never
+contains an empty caption under either vocabulary mode.
 """
 
 from __future__ import annotations
@@ -115,22 +118,39 @@ def _layout_split(
     keys: list[str],
     caps_by_key: dict[str, list[str]],
     caps_per_image: int,
-) -> tuple[list[str], list[str], int]:
+    w2i: dict[str, int] | None = None,
+) -> tuple[list[str], list[str], list[list[str]], int]:
     """Flatten to the ``img_idx * caps_per_image + sent_ix`` layout.  Images
     with fewer than ``caps_per_image`` valid captions repeat their last one;
-    images with none are dropped.  Returns (kept keys, flat captions,
-    dropped-image count)."""
+    images with none are dropped.  A caption is *valid* when it still has
+    tokens after tokenization — and, when reusing an external vocabulary
+    (``w2i`` given), after the OOV drop too: validity must be judged on what
+    will actually be encoded, or an all-OOV caption would pass the filter yet
+    encode to an empty token list, breaking the no-empty-caption invariant
+    the reference's ``get_caption`` relies on (token 0 = ``<end>`` never
+    appears mid-caption).  Returns (kept keys, flat captions, flat token
+    lists — already OOV-filtered when ``w2i`` was given — dropped-image
+    count)."""
     kept: list[str] = []
     flat: list[str] = []
+    flat_tokens: list[list[str]] = []
     dropped = 0
     for key in keys:
-        caps = [c for c in caps_by_key.get(key, []) if tokenize_caption(c)]
-        if not caps:
+        cands: list[tuple[str, list[str]]] = []
+        for c in caps_by_key.get(key, []):
+            toks = tokenize_caption(c)
+            if w2i is not None:
+                toks = [t for t in toks if t in w2i]
+            if toks:
+                cands.append((c, toks))
+        if not cands:
             dropped += 1
             continue
         kept.append(key)
-        flat.extend((caps + [caps[-1]] * caps_per_image)[:caps_per_image])
-    return kept, flat, dropped
+        padded = (cands + [cands[-1]] * caps_per_image)[:caps_per_image]
+        flat.extend(c for c, _ in padded)
+        flat_tokens.extend(t for _, t in padded)
+    return kept, flat, flat_tokens, dropped
 
 
 def prepare_coco(
@@ -150,25 +170,29 @@ def prepare_coco(
 
     Returns a summary dict (per-split image counts, vocab size, drops).
     """
-    splits: dict[str, tuple[list[str], list[str]]] = {}
-    dropped: dict[str, int] = {}
-    for mode, path in (("train", train_json), ("test", test_json)):
-        keys, caps_by_key = read_coco_annotations(path)
-        kept, flat, ndrop = _layout_split(keys, caps_by_key, caps_per_image)
-        splits[mode] = (kept, flat)
-        dropped[mode] = ndrop
-
-    train_tokens = [tokenize_caption(c) for c in splits["train"][1]]
-    test_tokens = [tokenize_caption(c) for c in splits["test"][1]]
-
     if vocab_from:
         with open(vocab_from, "rb") as f:
             _, _, i2w, w2i = pickle.load(f)[:4]
+        vocab_filter: dict[str, int] | None = w2i
     else:
-        i2w, w2i = build_vocabulary(train_tokens + test_tokens)
+        vocab_filter = None
 
-    train_caps = encode_captions(train_tokens, w2i)
-    test_caps = encode_captions(test_tokens, w2i)
+    splits: dict[str, tuple[list[str], list[str]]] = {}
+    tokens: dict[str, list[list[str]]] = {}
+    dropped: dict[str, int] = {}
+    for mode, path in (("train", train_json), ("test", test_json)):
+        keys, caps_by_key = read_coco_annotations(path)
+        kept, flat, flat_tokens, ndrop = _layout_split(
+            keys, caps_by_key, caps_per_image, vocab_filter)
+        splits[mode] = (kept, flat)
+        tokens[mode] = flat_tokens
+        dropped[mode] = ndrop
+
+    if not vocab_from:
+        i2w, w2i = build_vocabulary(tokens["train"] + tokens["test"])
+
+    train_caps = encode_captions(tokens["train"], w2i)
+    test_caps = encode_captions(tokens["test"], w2i)
 
     for mode in ("train", "test"):
         os.makedirs(os.path.join(data_dir, mode), exist_ok=True)

@@ -101,6 +101,20 @@ def create_train_state(cfg: Config, rng: Array, dtype=jnp.float32) -> TrainState
     )
 
 
+def matricize_spectral_kernel(kernel: Array, u_dim: int) -> Array:
+    """Matricize a spectral-normalized kernel into the ``[u_dim, v_dim]``
+    power-iteration operand.  GroupedDense kernels ``[groups, d_in, f]``
+    (PyTorch grouped-conv layout; see ops/grouped.py) flatten as
+    ``(groups*f, d_in)``; every other kernel as ``(out_features, -1)`` —
+    torch ``spectral_norm``'s view.  Single source of truth shared with the
+    sigma probe in ``benchmarks/toy_learn.py``: a drifted copy there would
+    silently invalidate the refresh-cadence measurement."""
+    if kernel.ndim == 3 and u_dim == kernel.shape[0] * kernel.shape[-1]:
+        return kernel.transpose(1, 0, 2).reshape(kernel.shape[1], u_dim).T
+    out_features = kernel.shape[-1]
+    return jnp.moveaxis(kernel, -1, 0).reshape(out_features, -1)
+
+
 def refresh_spectral(d_params: Params, d_spectral: Params, iters: int = 1) -> Params:
     """``iters`` power-iteration steps for every spectral-normalized kernel,
     computed directly from the parameters.  The reference refreshes inside
@@ -117,17 +131,7 @@ def refresh_spectral(d_params: Params, d_spectral: Params, iters: int = 1) -> Pa
         if set(spec_node.keys()) >= {"u", "v"} and "kernel" in param_node:
             kernel = param_node["kernel"]
             u_dim = spec_node["u"].shape[0]
-            if kernel.ndim == 3 and u_dim == kernel.shape[0] * kernel.shape[-1]:
-                # GroupedDense [groups, d_in, f]: matricized as (groups*f, d_in)
-                # (PyTorch grouped-conv layout; see ops/grouped.py)
-                w = (
-                    kernel.transpose(1, 0, 2)
-                    .reshape(kernel.shape[1], u_dim)
-                    .T.astype(jnp.float32)
-                )
-            else:
-                out_features = kernel.shape[-1]
-                w = jnp.moveaxis(kernel, -1, 0).reshape(out_features, -1).astype(jnp.float32)
+            w = matricize_spectral_kernel(kernel, u_dim).astype(jnp.float32)
             u, v = spec_node["u"], spec_node["v"]
             for _ in range(iters):
                 v = w.T @ u
