@@ -8,10 +8,15 @@ occupancy) vs the DMA/infeed streams — direct evidence for (or against) the
 cost-analysis-derived claim that the step is HBM-bandwidth-dominated with
 ~69% sustained DMA and ~38% MXU.
 
-Usage: python benchmarks/roofline_trace.py [STEPS] [OUTDIR] [NCH] [BS] [T_LEN] [T_DIM]
-(defaults 5 /tmp/xmc_roofline_trace 32 128 20 256 — the flagship shape;
-``96 32 200 768`` traces the LN deployment step's WORD-off remainder, i.e.
-`benchmarks/ln_step.py` component 1.)
+Usage: python benchmarks/roofline_trace.py [STEPS] [OUTDIR] [NCH] [BS] [T_LEN] [T_DIM] [NOISE]
+(defaults 5 /tmp/xmc_roofline_trace 32 128 20 256 100 — the flagship shape;
+``96 32 200 768 128`` traces the LN deployment step's WORD-off remainder,
+i.e. `benchmarks/ln_step.py` component 1 — NOISE=128 matches ln_step's
+``cfg/ln_coco_256.yml`` NOISE_DIM so the two tools trace the same XLA
+program.  The BASELINE.md 2026-08-20 LN trace predates the NOISE arg and ran
+at noise 100; its device span (401 ms/step) matched ln_step's 405 ms because
+the noise projection is a [BS, NOISE]x[NOISE, 8*NCH*16] matmul — sub-ms at
+either width — but pass 128 for exact apples-to-apples.)
 """
 
 from __future__ import annotations
@@ -34,13 +39,14 @@ import numpy as np
 
 
 def run_traced_steps(n_steps: int, outdir: str, nch: int = 32, bs: int = 128,
-                     t_len: int = 20, t_dim: int = 256) -> None:
+                     t_len: int = 20, t_dim: int = 256,
+                     noise_dim: int = 100) -> None:
     from xmc_gan_tpu.config import cfg_from_dict
     from xmc_gan_tpu.train import create_train_state, make_train_step
 
     cfg = cfg_from_dict({
         "TRAIN": {
-            "NCH": nch, "NEF": 256, "NOISE_DIM": 100, "HE_INIT": True,
+            "NCH": nch, "NEF": 256, "NOISE_DIM": noise_dim, "HE_INIT": True,
             "RMIS_LOSS": True, "MAGP": True, "N_CRITIC": 1, "BATCH_SIZE": bs,
             "ENCODER_LOSS": {"SENT": True, "DISC": True, "B_GLOBAL": True},
             "SMOOTH": {"GLOBAL": 0.0},
@@ -140,7 +146,8 @@ def main() -> None:
     bs = int(sys.argv[4]) if len(sys.argv) > 4 else 128
     t_len = int(sys.argv[5]) if len(sys.argv) > 5 else 20
     t_dim = int(sys.argv[6]) if len(sys.argv) > 6 else 256
-    run_traced_steps(n_steps, outdir, nch, bs, t_len, t_dim)
+    noise_dim = int(sys.argv[7]) if len(sys.argv) > 7 else 100
+    run_traced_steps(n_steps, outdir, nch, bs, t_len, t_dim, noise_dim)
     analyze(outdir)
 
 

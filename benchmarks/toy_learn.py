@@ -287,7 +287,11 @@ def main() -> None:
 
     verdict = {
         "steps": steps, "bs": bs, "nch": nch, "gen": gen, "disc": disc,
-        "img_match": bool(img_match), "spectral_iters": spectral_iters,
+        # effective head config, not the CLI flag: DF_DISC always trains
+        # with the IMG_MATCH head (build_cfg), --img_match only toggles it
+        # for CONCEPT_NETD
+        "img_match": bool(cfg.DISC.IMG_MATCH),
+        "spectral_iters": spectral_iters,
         "sigma_err_max_final": round(final["sigma_err_max"], 5),
         "sigma_err_mean_final": round(final["sigma_err_mean"], 5),
         "train_seconds": round(dt, 1),

@@ -64,11 +64,21 @@ class _stashed_canonical_cache:
 
     def __enter__(self) -> str:
         self._stash = None
-        if os.path.isdir(_CANONICAL_CACHE):
-            self._stash = _CANONICAL_CACHE + ".stash"
-            if os.path.isdir(self._stash):  # leftover from a hard kill
-                shutil.rmtree(self._stash)
-            os.rename(_CANONICAL_CACHE, self._stash)
+        stash = _CANONICAL_CACHE + ".stash"
+        if os.path.isdir(stash):
+            # Leftover from a hard kill mid-check: the stash holds the user's
+            # real warm cache (parked by the interrupted run) and the
+            # canonical path, if present, is that run's scratch.  Recover the
+            # warm cache — deleting the stash here would destroy it and
+            # recreate the cold-compile failure mode these tools prevent.
+            print(f"recovering {os.path.basename(stash)} left by an "
+                  f"interrupted run — it holds the parked warm cache")
+            if os.path.isdir(_CANONICAL_CACHE):
+                shutil.rmtree(_CANONICAL_CACHE)
+            self._stash = stash
+        elif os.path.isdir(_CANONICAL_CACHE):
+            self._stash = stash
+            os.rename(_CANONICAL_CACHE, stash)
         return _CANONICAL_CACHE
 
     def __exit__(self, *exc) -> None:
@@ -78,19 +88,20 @@ class _stashed_canonical_cache:
             os.rename(self._stash, _CANONICAL_CACHE)
 
 
-def _compile_scenarios(cache_dir: str) -> int:
-    """AOT-compile the dry-run scenarios in-process; return #scenario misses.
+def _compile_scenarios(cache_dir: str) -> tuple[int, int]:
+    """AOT-compile the dry-run scenarios in-process.
 
-    ``_run_scenarios`` seeds ``cache_dir`` from ``ci/dryrun_cache`` itself,
-    forces the simulated CPU platform, and sets
-    ``jax_disable_most_optimizations`` — everything that shapes the cache
-    key — so this wrapper only needs to import and call it.
+    Returns ``(scenario_misses, scenario_total)``.  ``_run_scenarios`` seeds
+    ``cache_dir`` from ``ci/dryrun_cache`` itself, forces the simulated CPU
+    platform, and sets ``jax_disable_most_optimizations`` — everything that
+    shapes the cache key — so this wrapper only needs to import and call it.
     """
     sys.path.insert(0, _REPO)
     import __graft_entry__ as ge
 
-    return ge._run_scenarios(_N_DEVICES, compile_only=True,
-                             cache_dir=cache_dir)
+    misses = ge._run_scenarios(_N_DEVICES, compile_only=True,
+                               cache_dir=cache_dir)
+    return misses, len(ge._DRYRUN_SCENARIOS)
 
 
 def _recover_parked(seed: str) -> None:
@@ -109,12 +120,47 @@ def _recover_parked(seed: str) -> None:
         os.rename(parked, seed)
 
 
+class _parked_seed:
+    """Park the committed seed dir while a regen harvests a fresh one.
+
+    On entry: recover any ``.parked`` leftover from a hard kill, move the
+    seed to ``<seed>.parked``, and create an empty seed dir for the harvest.
+    The body must call :meth:`commit` once the harvest is complete and
+    non-empty; otherwise (abort return, exception, or a forgotten commit)
+    exit restores the parked committed seed unchanged.  Single source of
+    truth for the park/restore dance — ``cmd_regen`` and ``cmd_regen_tests``
+    previously hand-rolled two copies that could drift.
+    """
+
+    def __init__(self, seed: str) -> None:
+        self._seed = seed
+        self._parked = seed + ".parked"
+        self._committed = False
+
+    def __enter__(self) -> "_parked_seed":
+        _recover_parked(self._seed)
+        os.rename(self._seed, self._parked)
+        os.makedirs(self._seed)  # empty seed: everything compiles fresh
+        return self
+
+    def commit(self) -> None:
+        self._committed = True
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if self._committed and exc_type is None:
+            shutil.rmtree(self._parked)
+        elif os.path.isdir(self._parked):
+            if os.path.isdir(self._seed):
+                shutil.rmtree(self._seed)
+            os.rename(self._parked, self._seed)
+
+
 def cmd_check() -> int:
     with _stashed_canonical_cache() as cache_dir:
-        misses = _compile_scenarios(cache_dir)
+        misses, total = _compile_scenarios(cache_dir)
     if misses:
         print(
-            f"\nSTALE: {misses}/4 dry-run scenarios missed the committed "
+            f"\nSTALE: {misses}/{total} dry-run scenarios missed the committed "
             f"compile cache — the driver's cold dryrun_multichip(8) would "
             f"recompile them (~390 s on 1 vCPU, the MULTICHIP_r03 rc=124 "
             f"failure mode).\nRegenerate the seed with:\n"
@@ -132,11 +178,7 @@ def cmd_regen() -> int:
     # entries are exactly what the current code produces: park the committed
     # seed (the helper copy-if-missing seeds from it), stash any warm cache,
     # compile, harvest, restore both.
-    _recover_parked(_DRYRUN_SEED)
-    parked = _DRYRUN_SEED + ".parked"
-    os.rename(_DRYRUN_SEED, parked)
-    os.makedirs(_DRYRUN_SEED)  # empty seed: every scenario compiles fresh
-    try:
+    with _parked_seed(_DRYRUN_SEED) as park:
         with _stashed_canonical_cache() as cache_dir:
             _compile_scenarios(cache_dir)
             new = sorted(
@@ -149,10 +191,8 @@ def cmd_regen() -> int:
         if not new:
             print("regen: no jit_train_step entries produced — aborting, "
                   "committed seed left unchanged")
-            os.rmdir(_DRYRUN_SEED)
-            os.rename(parked, _DRYRUN_SEED)
             return 1
-        shutil.rmtree(parked)
+        park.commit()
         print(f"\nregen: ci/dryrun_cache replaced with {len(new)} entries:")
         for f in new:
             sz = os.path.getsize(os.path.join(_DRYRUN_SEED, f))
@@ -160,13 +200,6 @@ def cmd_regen() -> int:
         print("Verify with `python ci/cache_tools.py check` (expect FRESH), "
               "then commit ci/dryrun_cache.")
         return 0
-    except BaseException:
-        # restore the parked seed on any failure
-        if os.path.isdir(parked):
-            if os.path.isdir(_DRYRUN_SEED):
-                shutil.rmtree(_DRYRUN_SEED)
-            os.rename(parked, _DRYRUN_SEED)
-        raise
 
 
 def cmd_regen_tests() -> int:
@@ -176,14 +209,10 @@ def cmd_regen_tests() -> int:
     machine.  Entries are whatever the tier compiles for >1 s — the same
     min-compile-time threshold conftest configures.
     """
-    _recover_parked(_TEST_SEED)
     jax_cache = os.path.join(_REPO, ".jax_cache")
     if os.path.isdir(jax_cache):
         shutil.rmtree(jax_cache)
-    parked = _TEST_SEED + ".parked"
-    os.rename(_TEST_SEED, parked)
-    os.makedirs(_TEST_SEED)
-    try:
+    with _parked_seed(_TEST_SEED) as park:
         rc = subprocess.call(
             [sys.executable, "-m", "pytest", "tests/", "-x", "-q",
              "-m", "not slow", "-p", "no:cacheprovider"],
@@ -192,8 +221,6 @@ def cmd_regen_tests() -> int:
         if rc != 0:
             print(f"regen-tests: fast tier failed (rc={rc}); committed seed "
                   "left unchanged")
-            os.rmdir(_TEST_SEED)
-            os.rename(parked, _TEST_SEED)
             return rc
         entries = sorted(
             f for f in os.listdir(jax_cache)
@@ -205,22 +232,14 @@ def cmd_regen_tests() -> int:
             # not destroy the good committed seed.
             print("regen-tests: fast tier produced no cache entries — "
                   "aborting, committed seed left unchanged")
-            os.rmdir(_TEST_SEED)
-            os.rename(parked, _TEST_SEED)
             return 1
         for f in entries:
             shutil.copy(os.path.join(jax_cache, f),
                         os.path.join(_TEST_SEED, f))
-        shutil.rmtree(parked)
+        park.commit()
         print(f"regen-tests: ci/test_cache replaced with {len(entries)} "
               "entries; commit ci/test_cache.")
         return 0
-    except BaseException:
-        if os.path.isdir(parked):
-            if os.path.isdir(_TEST_SEED):
-                shutil.rmtree(_TEST_SEED)
-            os.rename(parked, _TEST_SEED)
-        raise
 
 
 def main() -> int:

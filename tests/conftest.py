@@ -33,6 +33,18 @@ if os.path.isdir(_seed):
     import tempfile
 
     os.makedirs(_cache, exist_ok=True)
+    # Sweep temp files orphaned by a hard kill between mkstemp and os.replace
+    # below.  Age-gated (1 h) so a concurrent xdist worker's in-flight temp is
+    # never deleted from under its os.replace.
+    import time as _time
+    for _f in os.listdir(_cache):
+        if ".seed." in _f:
+            _p = os.path.join(_cache, _f)
+            try:
+                if _time.time() - os.path.getmtime(_p) > 3600:
+                    os.unlink(_p)
+            except OSError:
+                pass  # another worker swept it first
     for _f in os.listdir(_seed):
         _src = os.path.join(_seed, _f)
         _dst = os.path.join(_cache, _f)

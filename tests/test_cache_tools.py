@@ -58,23 +58,76 @@ def test_stashed_canonical_cache_without_existing_dir(tmp_path, monkeypatch):
     assert not os.path.exists(canonical)
 
 
-def test_stashed_canonical_cache_clears_dead_stash(tmp_path, monkeypatch):
-    """A .stash left by a hard kill must not block (or leak into) later runs."""
+def test_stashed_canonical_cache_recovers_orphaned_stash(tmp_path, monkeypatch):
+    """A .stash left by a hard kill holds the user's REAL warm cache (parked
+    by the interrupted run); the canonical path, if present, is that run's
+    scratch.  Recovery must restore the stash, never delete it — deleting it
+    would destroy the warm cache and recreate the cold-compile failure mode."""
     ct = _load_cache_tools()
     canonical = str(tmp_path / "xmc_jax_cache")
     monkeypatch.setattr(ct, "_CANONICAL_CACHE", canonical)
 
     os.makedirs(canonical + ".stash")
-    with open(canonical + ".stash/old", "w") as f:
-        f.write("dead")
-    os.makedirs(canonical)
-    with open(os.path.join(canonical, "warm"), "w") as f:
-        f.write("w")
+    with open(canonical + ".stash/warm-entry", "w") as f:
+        f.write("warm")
+    os.makedirs(canonical)  # scratch from the interrupted check
+    with open(os.path.join(canonical, "check-scratch"), "w") as f:
+        f.write("scratch")
+
+    with ct._stashed_canonical_cache():
+        assert not os.path.exists(os.path.join(canonical, "warm-entry"))
+    assert sorted(os.listdir(canonical)) == ["warm-entry"]
+    with open(os.path.join(canonical, "warm-entry")) as f:
+        assert f.read() == "warm"
+    assert not os.path.exists(canonical + ".stash")
+
+
+def test_stashed_canonical_cache_recovers_stash_without_canonical(
+        tmp_path, monkeypatch):
+    """Kill-before-first-write variant: stash exists, canonical absent."""
+    ct = _load_cache_tools()
+    canonical = str(tmp_path / "xmc_jax_cache")
+    monkeypatch.setattr(ct, "_CANONICAL_CACHE", canonical)
+
+    os.makedirs(canonical + ".stash")
+    with open(canonical + ".stash/warm-entry", "w") as f:
+        f.write("warm")
 
     with ct._stashed_canonical_cache():
         pass
-    assert sorted(os.listdir(canonical)) == ["warm"]
+    assert sorted(os.listdir(canonical)) == ["warm-entry"]
     assert not os.path.exists(canonical + ".stash")
+
+
+def test_parked_seed_commit_and_abort(tmp_path):
+    ct = _load_cache_tools()
+    seed = str(tmp_path / "seed")
+
+    # abort path (no commit): harvest discarded, committed seed restored
+    os.makedirs(seed)
+    with open(os.path.join(seed, "committed"), "w") as f:
+        f.write("c")
+    with ct._parked_seed(seed):
+        assert os.listdir(seed) == []  # empty dir for the fresh harvest
+        with open(os.path.join(seed, "harvest"), "w") as f:
+            f.write("h")
+    assert sorted(os.listdir(seed)) == ["committed"]
+
+    # exception path: same restore
+    try:
+        with ct._parked_seed(seed):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert sorted(os.listdir(seed)) == ["committed"]
+
+    # commit path: harvest replaces the committed seed, parked copy removed
+    with ct._parked_seed(seed) as park:
+        with open(os.path.join(seed, "harvest"), "w") as f:
+            f.write("h")
+        park.commit()
+    assert sorted(os.listdir(seed)) == ["harvest"]
+    assert not os.path.exists(seed + ".parked")
 
 
 def test_recover_parked_restores_seed(tmp_path):

@@ -97,6 +97,14 @@ wwant, wgref = jax.jit(jax.value_and_grad(wref))(jnp.asarray(regions))
 wwant, wgrefn = float(wwant), float(jnp.vdot(wgref, wgref))
 assert abs(wv - wwant) < 1e-5, (wv, wwant)
 assert abs(wgn - wgrefn) < 1e-5 * max(1.0, abs(wgrefn)), (wgn, wgrefn)
+# elementwise on the locally-addressable gradient shards: a shard-offset bug
+# that permutes per-row gradient blocks across the process boundary would
+# preserve the total norm exactly, so the norm check alone cannot catch it —
+# each shard must match the oracle's slice at the SAME global rows
+wgref_np = np.asarray(wgref)
+for shard in wg.addressable_shards:
+    np.testing.assert_allclose(
+        np.asarray(shard.data), wgref_np[shard.index], rtol=3e-5, atol=1e-6)
 
 print(f"proc {jax.process_index()} loss {val:.6f} word {wv:.6f} ok", flush=True)
 """
