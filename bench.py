@@ -19,6 +19,12 @@ Prints exactly ONE JSON line:
 
 Modes (first CLI arg, default ``flagship``):
     flagship — NCH=32 bs128 at 256 px, the headline number above.
+    flagship_sn5 — flagship with ``spectral_iters=5``: the reference's
+               power-iteration count (one per D forward, up to 5/step —
+               modules.py:13-33 via torch spectral_norm).  Default cadence
+               is 1 fused refresh/step, measured training-equivalent
+               (BASELINE.md "Spectral-norm refresh cadence"); this mode
+               prices the reference-exact cadence at flagship scale.
     flagship_word — flagship plus the word-region contrastive loss (T=20
                captions through the D region head, both D and G sides), i.e.
                the complete north-star objective: sentence, word-region, and
@@ -43,6 +49,7 @@ BASELINE_IMAGES_PER_SEC_PER_CHIP = 90.0  # estimated PyTorch A100 (BASELINE.md)
 # bs32 measured best for ch=96 on the 16 GB chip (BASELINE.md ch96 sweep)
 MODES = {
     "flagship": dict(nch=32, batch_size=128, imsize=256),
+    "flagship_sn5": dict(nch=32, batch_size=128, imsize=256, spectral_iters=5),
     "flagship_word": dict(nch=32, batch_size=128, imsize=256, word=True),
     "ch96": dict(nch=96, batch_size=32, imsize=256),
     # the reference's own canonical training config (cfg/df_gan_damsm.yml:
@@ -104,6 +111,7 @@ def main() -> None:
     batch_size = MODES[mode]["batch_size"]
     imsize = MODES[mode]["imsize"]
     word = MODES[mode].get("word", False)
+    spectral_iters = MODES[mode].get("spectral_iters", 1)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/xmc_jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -132,7 +140,11 @@ def main() -> None:
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     # bf16 activations, fp32 params/losses — the production TPU configuration
-    step = jax.jit(make_train_step(cfg, dtype=jnp.bfloat16), donate_argnums=(0,))
+    step = jax.jit(
+        make_train_step(cfg, dtype=jnp.bfloat16,
+                        spectral_iters=spectral_iters),
+        donate_argnums=(0,),
+    )
 
     rng = np.random.RandomState(0)
     batch = {
@@ -175,6 +187,9 @@ def main() -> None:
         # ~1645 img/s at this config
         baseline = BASELINE_IMAGES_PER_SEC_PER_CHIP * 18.3
         metric = "train_images_per_sec_per_chip_coco64_ref_canonical"
+    if mode == "flagship_sn5":
+        # same anchor: 5 power iterations per step IS the reference's count
+        metric = "train_images_per_sec_per_chip_coco256_dfgan_xmc_sn5"
     if mode == "flagship_word":
         # same anchor: WORD is part of the reference's declared objective
         metric = "train_images_per_sec_per_chip_coco256_dfgan_xmc_word"
