@@ -79,6 +79,17 @@ def test_g_and_d_params_change_after_step():
     assert leaf_l2_delta(state.d_params, new_state.d_params) > 0
 
 
+def test_sent_loss_without_projection_head_rejected():
+    """Reference-parity config validation (`assert cfg.DISC.SENT_MATCH or
+    cfg.DISC.IMG_MATCH`, train_gan.py:217): ENCODER_LOSS.SENT with neither
+    projection head must fail at step construction — even when the pooled
+    trunk dim happens to equal NEF, where the shapes alone would let the
+    sentence InfoNCE silently compare unaligned feature spaces."""
+    cfg = tiny_cfg(DISC={"IMG_MATCH": False, "SENT_MATCH": False})
+    with pytest.raises(ValueError, match="SENT_MATCH or DISC.IMG_MATCH"):
+        make_train_step(cfg)
+
+
 def test_magp_is_second_d_update():
     """With MAGP the D params after the step differ from a MAGP-off run with
     identical RNG — and the penalty metric is produced."""

@@ -66,10 +66,12 @@ def cosine_scores(emb0: Array, emb1: Array) -> Array:
     similarity matrix (and its log-softmax) stays stable under bf16 activations.
     """
     if emb0.shape[-1] != emb1.shape[-1]:
-        # Trace-time guard: the reference crashes identically (shape error in
-        # the matmul, train_gan.py:90) when ENCODER_LOSS.SENT is on without a
-        # shared projection — every shipped SENT config sets DISC.IMG_MATCH
-        # or DISC.SENT_MATCH so both sides land in the same space.
+        # Trace-time guard for direct callers (the train step additionally
+        # validates the reference's config invariant up front — see
+        # make_train_step's SENT_MATCH/IMG_MATCH check, which also covers the
+        # dim-coincident case this shape guard cannot).  The reference crashes
+        # on the same mismatch as a shape error in the matmul
+        # (train_gan.py:90).
         raise ValueError(
             f"contrastive embeddings have mismatched feature dims "
             f"{emb0.shape[-1]} vs {emb1.shape[-1]}; with ENCODER_LOSS.SENT "

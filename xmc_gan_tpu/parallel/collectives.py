@@ -18,12 +18,21 @@ import functools
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.8 (check_rep became check_vma)
+try:  # jax >= 0.8 exports jax.shard_map (check_rep became check_vma there,
+    # but probe the actual signature rather than assuming the export and the
+    # kwarg rename landed in the same release)
+    import inspect
+
     from jax import shard_map as _shard_map
+
+    _CHECK_KW = ("check_vma"
+                 if "check_vma" in inspect.signature(_shard_map).parameters
+                 else "check_rep")
 
     def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
         return _shard_map(
-            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=check_rep
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            **{_CHECK_KW: check_rep},
         )
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map

@@ -192,6 +192,18 @@ def make_train_step(
 
     t = cfg.TRAIN
     el = t.ENCODER_LOSS
+    if el.SENT and not (cfg.DISC.SENT_MATCH or cfg.DISC.IMG_MATCH):
+        # Reference-parity config validation (`assert cfg.DISC.SENT_MATCH or
+        # cfg.DISC.IMG_MATCH`, train_gan.py:217): without a shared projection
+        # the sentence InfoNCE would compare unaligned feature spaces — and
+        # when the trunk dim happens to equal NEF the shapes alone would not
+        # catch it (cosine_scores' dim guard covers only the mismatch case).
+        raise ValueError(
+            "ENCODER_LOSS.SENT requires DISC.SENT_MATCH or DISC.IMG_MATCH "
+            "(the reference asserts this, train_gan.py:217): the sentence "
+            "contrastive loss needs image and sentence features projected "
+            "into a shared space"
+        )
     use_labels = el.SENT or el.WORD or el.DISC or el.VGG
     vgg_model = None
     if el.VGG:
@@ -465,6 +477,11 @@ def make_train_step(
             "ds_loss": d_aux["ds_loss"],
             "gs_loss": g_aux["gs_loss"],
             "disc_loss": g_aux["disc_loss"],
+            # The FULL penalty added to the D loss, i.e. 2*mean(||grad||^6):
+            # the reference's variable named d_loss_gp is the pre-factor
+            # mean(||grad||^6) (train_gan.py:247-248) — it never logs either;
+            # this scalar (an extra beyond the reference's logged set) keeps
+            # the applied-penalty convention used throughout BASELINE.md.
             "d_loss_gp": d_loss_gp,
             "g_updated": g_updated,
         }
