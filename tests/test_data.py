@@ -164,6 +164,35 @@ def test_synthetic_dataset_smoke():
     assert b["cap_lens"].min() >= 3
 
 
+def test_synthetic_train_and_test_splits_are_distinct():
+    """The Trainer passes the same seed to both loaders; without a per-split
+    salt, synthetic test example i would be bit-identical to train example i
+    and smoke FID would measure train-set memorization."""
+    cfg = _cfg(size=16, max_len=5)
+    train = SyntheticDataset(cfg, length=8, mode="train")
+    test = SyntheticDataset(cfg, length=8, mode="test")
+    tr = train[(0, 0, 0)]
+    te = test[(0, 0, 0)]
+    assert not np.array_equal(tr["imgs"], te["imgs"])
+    assert tr["keys"] != te["keys"]
+    # determinism within a split is unchanged
+    assert np.array_equal(tr["imgs"], train[(0, 0, 0)]["imgs"])
+
+
+def test_loader_first_batch_matches_iteration_and_keeps_start_batch():
+    ds = SyntheticDataset(_cfg(size=8, max_len=3), length=12)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0, num_threads=1)
+    loader.set_epoch(1, start_batch=2)
+    fb = loader.first_batch()
+    # first_batch is the epoch's batch 0 regardless of (and not consuming)
+    # the pending start_batch skip
+    assert len(list(loader)) == 1  # the skip still applies to the next pass
+    loader.set_epoch(1)
+    it = next(iter(loader))
+    for k in ("imgs", "caps", "cap_lens"):
+        assert np.array_equal(fb[k], it[k]), k
+
+
 def test_loader_start_batch_applies_to_one_pass_only():
     ds = SyntheticDataset(_cfg(size=8, max_len=3), length=12)
     loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0, num_threads=1)

@@ -158,10 +158,16 @@ cfg = cfg_from_dict({
     "DISC": {"SPEC_NORM": False, "IMG_MATCH": True},
 })
 mesh = make_mesh(dp=4, tp=1)
+# watch=True: _log_watch's fetch is a COLLECTIVE (process_allgather of the
+# cross-process-replicated params) that every rank must join — this pins the
+# regression where a rank-0-only watch gate left rank 0 alone in the
+# collective and deadlocked the run at epoch end.  log_type stays "none"
+# (writes are no-ops; the fetch still runs) so no TB import skews the ranks
+# ahead of the collective's 30s Gloo window.
 tr = Trainer(
     cfg, seed=23, output_root=tempfile.mkdtemp(), log_type="none",
     synthetic=True, synthetic_len=32, save_after=50, num_threads=1,
-    mesh=mesh, eval_fid=False, steps_per_dispatch=2,
+    mesh=mesh, eval_fid=False, steps_per_dispatch=2, watch=True,
 )
 metrics = tr.fit(max_epochs=1)  # 4 global steps = 2 scan windows
 assert tr._multi_step_calls == 2, tr._multi_step_calls

@@ -520,7 +520,7 @@ def test_watch_logs_parameter_and_update_histograms(run_dir):
     )
     rec = Recorder()
     tr.writer = rec
-    tr.watch = True  # log_type=none disabled it at init; force with recorder
+    assert tr.watch  # rank-independent gate: on whenever --watch is passed
     tr.fit(max_epochs=2)
 
     assert [step for step, _ in rec.hists] == [1, 2]

@@ -263,7 +263,13 @@ class SyntheticDataset:
         self.voca_size = cfg.TEXT.VOCA_SIZE
         self.length = length
         self.mode = mode
-        self.filenames = [f"synthetic_{i:06d}" for i in range(length)]
+        # Distinct streams per split: the Trainer passes the same seed to the
+        # train and test loaders, and without this salt test example i would
+        # be bit-identical to train example i — synthetic FID "real" stats
+        # would then be computed over data the model trained on, and no
+        # train/test-leak regression could ever be detected on this dataset.
+        self._seed_salt = 0 if mode == "train" else 1_000_003
+        self.filenames = [f"synthetic_{mode}_{i:06d}" for i in range(length)]
         self.i2w = {i: f"tok{i}" for i in range(self.voca_size)}
 
     def __len__(self) -> int:
@@ -271,7 +277,7 @@ class SyntheticDataset:
 
     def __getitem__(self, args) -> dict[str, Any]:
         idx, epoch, seed = args if isinstance(args, tuple) else (args, 0, 0)
-        rng = _example_rng(seed, epoch, idx)
+        rng = _example_rng(seed + self._seed_salt, epoch, idx)
         img = rng.integers(
             0, 256, (self.img_size, self.img_size, 3), dtype=np.uint8
         )
@@ -367,6 +373,18 @@ class DataLoader:
             return (len(self.dataset) // self.shard_count) // self.local_batch
         n = len(self._epoch_indices())
         return (n + self.local_batch - 1) // self.local_batch
+
+    def first_batch(self) -> dict[str, Any]:
+        """Collate the current epoch's first batch synchronously — no thread
+        pool, no read-ahead.  For one-off consumers (e.g. the fixed sample
+        grid): ``next(iter(loader))`` would submit ``depth`` batches of
+        decodes to a fresh executor and then block on and discard them at
+        generator close.  Does not consume ``start_batch``."""
+        indices = self._epoch_indices()[: self.local_batch]
+        epoch, seed = self.epoch, self.seed
+        return _collate(
+            [self.dataset[(int(i), epoch, seed)] for i in indices]
+        )
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
         indices = self._epoch_indices()

@@ -166,7 +166,14 @@ class Trainer:
         # the jitted step, so the logged "updates" are the applied Adam deltas
         # since the previous watch point — the same telemetry (dead layers,
         # exploding layers) with zero hot-path cost.  Opt-in (--watch).
-        self.watch = watch and self.writer.active
+        # Rank-INDEPENDENT gate: _log_watch's fetch is a collective
+        # (process_allgather of model-sharded leaves) that every rank must
+        # join — gating on self.writer.active (false on rank != 0) would
+        # leave rank 0 alone in the collective and deadlock multihost runs.
+        # The host-0-only *writing* is a no-op on inactive writers; with
+        # --watch but log_type=none the per-epoch fetch is paid for nothing,
+        # which is the explicit flag's caller's choice.
+        self.watch = bool(watch)
         self._watch_prev = None
 
         # ---------------------------------------------------------- data
@@ -425,32 +432,42 @@ class Trainer:
 
     def _prep_batch(self, batch: dict) -> dict:
         words, sent, mask = self.encode(batch)
+        # imgs stays a HOST array until its destination is known: the
+        # multihost path needs numpy for host_local_array_to_global_array,
+        # and an eager jnp.asarray here would ship the largest tensor
+        # host->device only to pull it straight back (np.asarray below) —
+        # a wasted round trip on the path the wall-clock measurements call
+        # the bottleneck (BASELINE.md "Full trainer loop").
         out = {
-            "imgs": jnp.asarray(batch["imgs"]),
+            "imgs": batch["imgs"],
             "sent_embs": sent,
             "words_embs": words,
             "mask": mask,
         }
+        if self.mesh is not None and jax.process_count() > 1:
+            # each process holds its local slice of the global batch;
+            # assemble the logically-global sharded arrays across hosts
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as P
+
+            return multihost_utils.host_local_array_to_global_array(
+                jax.tree.map(np.asarray, out), self.mesh, P("data")
+            )
+        out["imgs"] = jnp.asarray(out["imgs"])
         if self.mesh is not None:
-            if jax.process_count() > 1:
-                # each process holds its local slice of the global batch;
-                # assemble the logically-global sharded arrays across hosts
-                from jax.experimental import multihost_utils
-                from jax.sharding import PartitionSpec as P
+            from xmc_gan_tpu.parallel import shard_batch
 
-                out = multihost_utils.host_local_array_to_global_array(
-                    jax.tree.map(np.asarray, out), self.mesh, P("data")
-                )
-            else:
-                from xmc_gan_tpu.parallel import shard_batch
-
-                out = shard_batch(self.mesh, out)
+            out = shard_batch(self.mesh, out)
         return out
 
     def _setup_fixed_batch(self) -> None:
         """Fixed noise/text for the per-epoch sample grid (reference
         ``train_gan.py:146-160``)."""
-        batch = next(iter(self.train_loader))
+        # first_batch(): synchronous single-batch collate.  next(iter(...))
+        # would spin up the loader's thread pool with `depth` batches of
+        # read-ahead decodes, all discarded (and blocked on) at generator
+        # close — wasted startup work at real-dataset scale.
+        batch = self.train_loader.first_batch()
         words, sent, mask = self.encode(batch)
         n = sent.shape[0]
         noise = jax.random.normal(
@@ -657,7 +674,11 @@ class Trainer:
 
         # Preemption: flag-only from the handler (signal-safe); acted on at
         # the next window boundary, where the state sits at an exact step.
-        prev_handler = None
+        # Sentinel (not None) for "handler never installed": signal.signal()
+        # legitimately returns None when the prior handler was installed by
+        # non-Python code, and that case still needs restoration on exit.
+        _NO_HANDLER = object()
+        prev_handler = _NO_HANDLER
         self._preempted = False  # a prior preempted fit() must not poison this one
         if self.ckpt_on_preempt:
             import signal as _signal
@@ -668,10 +689,15 @@ class Trainer:
                     lambda *_: setattr(self, "_preempted", True),
                 )
             except ValueError:  # non-main thread: no handler, flag stays manual
-                prev_handler = None
+                prev_handler = _NO_HANDLER
 
         preempt_handled = False
         boundary_idx = 0  # in-loop window boundaries seen (host-consistent)
+        # Step of the most recently INITIATED auto-save (Orbax saves are
+        # async, so auto_ckpt.latest_epoch() reflects only committed saves —
+        # preempt_save must not re-save a step whose save is still in flight,
+        # which Orbax would reject as already existing).
+        auto_save_initiated: int | None = None
 
         def poll_preempt(force: bool) -> bool:
             # COLLECTIVE under multihost: every process calls this at the
@@ -696,7 +722,7 @@ class Trainer:
             return bool(np.asarray(flags).any())
 
         def preempt_save(force: bool = False) -> bool:
-            nonlocal preempt_handled
+            nonlocal preempt_handled, auto_save_initiated
             if not self.ckpt_on_preempt:
                 return False
             if preempt_handled:  # epoch-tail call after the in-loop one: done
@@ -705,7 +731,13 @@ class Trainer:
                 return False
             flush_pending()
             step_now = int(self.state.step)
-            if self.auto_ckpt.latest_epoch() != step_now:  # not already saved
+            # "already saved" must consider in-flight async saves too: when a
+            # run_window save boundary coincides with this poll boundary,
+            # latest_epoch() lags the initiated save and a second save of the
+            # same step would raise once the first commits.
+            if (auto_save_initiated != step_now
+                    and self.auto_ckpt.latest_epoch() != step_now):
+                auto_save_initiated = step_now
                 self.auto_ckpt.save(step_now, self.state)
                 self.logger.info(
                     f"Preempted: auto checkpoint saved at step {step_now}; exiting"
@@ -722,7 +754,7 @@ class Trainer:
             # (len==K, epoch end, max_steps) — NEVER of rank-local state like
             # grid saves: under multihost every process must issue the same
             # device programs in the same order or collectives deadlock.
-            nonlocal win, pending
+            nonlocal win, pending, auto_save_initiated
             if not win:
                 return
             batches = [b for b, _, _ in win]
@@ -759,6 +791,7 @@ class Trainer:
             ):
                 # dispatch-granular auto-checkpoint, labeled with the window
                 # boundary step (exact step when K == 1)
+                auto_save_initiated = gs_last
                 self.auto_ckpt.save(gs_last, self.state)
 
         try:
@@ -844,10 +877,16 @@ class Trainer:
             if self.auto_ckpt:
                 self.auto_ckpt.wait()
         finally:
-            if prev_handler is not None:
+            if prev_handler is not _NO_HANDLER:
                 import signal as _signal
 
                 # restored on every exit path, incl. exceptions: a leaked
-                # flag-setter would make the process silently swallow SIGTERM
-                _signal.signal(_signal.SIGTERM, prev_handler)
+                # flag-setter would make the process silently swallow SIGTERM.
+                # A None prior handler (installed by non-Python code) cannot
+                # be re-installed from Python — SIG_DFL (terminate) is the
+                # closest restoration and still unhooks the flag-setter.
+                _signal.signal(
+                    _signal.SIGTERM,
+                    _signal.SIG_DFL if prev_handler is None else prev_handler,
+                )
         return last_metrics
